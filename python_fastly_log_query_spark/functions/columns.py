@@ -1,0 +1,79 @@
+"""Scalar column expressions — pure Catalyst (no UDFs, whole-stage codegen).
+
+Each function re-expresses a row-wise Python lambda from the reference as a
+Column expression (SURVEY.md §2.10): these run JVM-side and vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def agent_type(ua: Column) -> Column:
+    """UA → agent-type classifier, reference ``extract_agent_type``
+    (reference src/analyze/analytics.py:200-222): ordered contains-rules on
+    the lowercased UA; null/empty → 'Unknown'."""
+    lo = F.lower(ua)
+    return (
+        F.when(ua.isNull() | (ua == ""), "Unknown")
+        .when(lo.contains("mozilla") & lo.contains("firefox"), "Firefox")
+        .when(lo.contains("chrome") & lo.contains("safari"), "Chrome")
+        .when(lo.contains("safari") & ~lo.contains("chrome"), "Safari")
+        .when(lo.contains("python-requests"), "Python/requests")
+        .when(lo.contains("curl"), "curl")
+        .when(lo.contains("datadog"), "Datadog")
+        .otherwise("Other")
+    )
+
+
+def query_signature(path: Column, query_params: Column) -> Column:
+    """``path?k1=v1&k2`` with sorted params; ``k`` alone when the value is
+    empty; bare path when no params (reference src/analyze/analytics.py:234-259)."""
+    entries = F.array_sort(F.map_entries(query_params))
+    param_str = F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.when(e["value"] == "", e["key"]).otherwise(
+                F.concat(e["key"], F.lit("="), e["value"])
+            ),
+        ),
+        "&",
+    )
+    path_nn = F.coalesce(path, F.lit(""))
+    return F.when(
+        query_params.isNotNull() & (F.size(query_params) > 0),
+        F.concat(path_nn, F.lit("?"), param_str),
+    ).otherwise(path_nn)
+
+
+def status_class(status_code: Column) -> Column:
+    """1xx…5xx bucket (reference src/analyze/analytics.py:816-827)."""
+    return F.when(
+        status_code.isNotNull() & (status_code >= 100) & (status_code < 600),
+        F.concat((status_code / 100).cast("int").cast("string"), F.lit("xx")),
+    ).otherwise(F.lit("other"))
+
+
+def ip_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 → uint32-as-long, for GeoIP range joins."""
+    parts = F.split(ip, r"\.")
+    return (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+
+
+def host_of_url(url: Column) -> Column:
+    """Host component of an http(s) URL."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def salted_key(key: Column, salt_buckets: int = 16) -> Column:
+    """Salted shuffle key to defuse hot-key skew: pair (key, salt) where salt
+    is a stable hash-derived bucket.  Aggregations run in two phases —
+    partial on (key, salt), final on key — so a hot host fans out over
+    ``salt_buckets`` reducers (SURVEY.md §4)."""
+    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), F.lit(salt_buckets))

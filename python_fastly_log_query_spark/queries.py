@@ -1,0 +1,903 @@
+"""The driver-facing query registry: every implemented operator from
+SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair.
+
+Spark callables take ``(spark, sf_dir)`` and return a DataFrame whose
+column NAMES and (for floats) ROUNDING match the oracle exactly — the
+driver hashes values after sorting columns by name (driver contract).
+
+The parse-derived queries run the REAL pandas-UDF parser over log lines
+deterministically derived from the ``events`` table (oracle_corpus); the
+DuckDB side recomputes the encoded fields directly — agreement proves the
+parse→aggregate pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle_corpus as oc
+from .datagen import geoip_dim as _unused_geoip  # noqa: F401 (engine dim builder)
+from .functions.columns import agent_type, ip_to_long, status_class
+from .operators import aggregates as agg
+from .operators.enrich import enrich_geoip
+from .plans.lasthours import filter_last_hours
+
+# ---------------------------------------------------------------- helpers
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _r(df: DataFrame, cols: list[str], nd: int = 4) -> DataFrame:
+    """Round float columns for hash-stable comparison."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), nd))
+    return out
+
+
+def _parsed(spark: SparkSession, sf: str) -> DataFrame:
+    return oc.parsed_events(spark, sf)
+
+
+L = oc.LOGS_CTE  # "WITH logs AS (...)" prefix
+P = oc.PARAMS_SQL
+
+# ================================================================ parse
+
+
+@register(
+    "parse_roundtrip",
+    L
+    + """
+SELECT event_id, strftime(ts_s, '%Y-%m-%d %H:%M:%S') AS ts, priority,
+       cache_server, process, pid, ip_address, http_method, path,
+       query_string, status_code, response_size, user_agent, cache_status
+FROM logs
+""",
+)
+def parse_roundtrip(spark, sf):
+    p = _parsed(spark, sf)
+    return p.select(
+        "event_id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "priority", "cache_server", "process", "pid", "ip_address",
+        "http_method", "path", "query_string", "status_code",
+        "response_size", "user_agent", "cache_status",
+    )
+
+
+# ================================================================ traffic
+
+
+@register(
+    "requests_per_hour",
+    L
+    + """
+SELECT strftime(date_trunc('hour', ts_s), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS requests
+FROM logs GROUP BY 1
+""",
+)
+def q_requests_per_hour(spark, sf):
+    return agg.requests_per_hour(_parsed(spark, sf))
+
+
+@register(
+    "requests_per_day",
+    L + "SELECT CAST(CAST(ts_s AS DATE) AS VARCHAR) AS day, count(*) AS requests FROM logs GROUP BY 1",
+)
+def q_requests_per_day(spark, sf):
+    return agg.requests_per_day(_parsed(spark, sf))
+
+
+@register(
+    "popular_endpoints",
+    L
+    + """
+SELECT path, count(*) AS requests FROM logs WHERE path IS NOT NULL
+GROUP BY 1 ORDER BY requests DESC, path ASC LIMIT 20
+""",
+)
+def q_popular_endpoints(spark, sf):
+    return agg.popular_endpoints(_parsed(spark, sf))
+
+
+@register(
+    "http_methods",
+    L + "SELECT http_method, count(*) AS requests FROM logs WHERE http_method IS NOT NULL GROUP BY 1",
+)
+def q_http_methods(spark, sf):
+    return agg.http_methods(_parsed(spark, sf))
+
+
+# ================================================================ errors
+
+
+@register(
+    "status_code_distribution",
+    L + "SELECT status_code, count(*) AS requests FROM logs WHERE status_code IS NOT NULL GROUP BY 1",
+)
+def q_status_code_distribution(spark, sf):
+    return agg.status_code_distribution(_parsed(spark, sf))
+
+
+@register(
+    "error_rates",
+    L
+    + """
+SELECT CAST(count(*) AS BIGINT) AS total_requests,
+       CAST(sum(CASE WHEN status_code BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS BIGINT) AS error_4xx_count,
+       round(avg(CASE WHEN status_code BETWEEN 400 AND 499 THEN 1.0 ELSE 0.0 END) * 100, 4) AS error_4xx_rate,
+       CAST(sum(CASE WHEN status_code BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS error_5xx_count,
+       round(avg(CASE WHEN status_code BETWEEN 500 AND 599 THEN 1.0 ELSE 0.0 END) * 100, 4) AS error_5xx_rate,
+       round(avg(CASE WHEN status_code BETWEEN 400 AND 599 THEN 1.0 ELSE 0.0 END) * 100, 4) AS total_error_rate
+FROM logs WHERE status_code IS NOT NULL
+""",
+)
+def q_error_rates(spark, sf):
+    return _r(
+        agg.error_rates(_parsed(spark, sf)),
+        ["error_4xx_rate", "error_5xx_rate", "total_error_rate"],
+    )
+
+
+@register(
+    "error_endpoints",
+    L
+    + """
+SELECT path, count(*) AS errors FROM logs
+WHERE status_code >= 400 AND path IS NOT NULL
+GROUP BY 1 ORDER BY errors DESC, path ASC LIMIT 10
+""",
+)
+def q_error_endpoints(spark, sf):
+    return agg.error_endpoints(_parsed(spark, sf))
+
+
+# ================================================================ performance
+
+
+@register(
+    "cache_statistics",
+    L + "SELECT cache_status, count(*) AS requests FROM logs WHERE cache_status IS NOT NULL GROUP BY 1",
+)
+def q_cache_statistics(spark, sf):
+    return agg.cache_statistics(_parsed(spark, sf))
+
+
+@register(
+    "cache_hit_miss_rates",
+    L
+    + """
+SELECT round(avg(CASE WHEN cache_status = 'hit' THEN 1.0 ELSE 0.0 END) * 100, 4) AS cache_hit_rate,
+       round(avg(CASE WHEN cache_status = 'miss' THEN 1.0 ELSE 0.0 END) * 100, 4) AS cache_miss_rate
+FROM logs WHERE cache_status IS NOT NULL
+""",
+)
+def q_cache_hit_miss_rates(spark, sf):
+    return _r(agg.cache_hit_miss_rates(_parsed(spark, sf)), ["cache_hit_rate", "cache_miss_rate"])
+
+
+@register(
+    "response_size_stats",
+    L
+    + """
+SELECT round(avg(response_size), 4) AS mean_size,
+       round(quantile_cont(response_size, 0.5), 4) AS median_size,
+       min(response_size) AS min_size,
+       max(response_size) AS max_size,
+       round(quantile_cont(response_size, 0.95), 4) AS p95_size,
+       round(quantile_cont(response_size, 0.99), 4) AS p99_size
+FROM logs WHERE response_size IS NOT NULL
+""",
+)
+def q_response_size_stats(spark, sf):
+    return _r(
+        agg.response_size_stats(_parsed(spark, sf)),
+        ["mean_size", "median_size", "p95_size", "p99_size"],
+    )
+
+
+@register(
+    "top_endpoints_by_size",
+    L
+    + """
+SELECT path, round(avg(response_size), 4) AS mean_size,
+       count(*) AS request_count
+FROM logs WHERE response_size IS NOT NULL AND path IS NOT NULL
+GROUP BY path ORDER BY avg(response_size) DESC, path ASC LIMIT 10
+""",
+)
+def q_top_endpoints_by_size(spark, sf):
+    return _r(agg.top_endpoints_by_size(_parsed(spark, sf)), ["mean_size"])
+
+
+# ================================================================ user agents
+
+
+@register(
+    "top_user_agents",
+    L
+    + """
+SELECT user_agent, count(*) AS requests FROM logs WHERE user_agent IS NOT NULL
+GROUP BY 1 ORDER BY requests DESC, user_agent ASC LIMIT 20
+""",
+)
+def q_top_user_agents(spark, sf):
+    return agg.top_user_agents(_parsed(spark, sf))
+
+
+@register(
+    "agent_type_distribution",
+    L + f"SELECT {oc.AGENT_TYPE_SQL} AS agent_type, count(*) AS requests FROM logs GROUP BY 1",
+)
+def q_agent_type_distribution(spark, sf):
+    return agg.agent_type_distribution(_parsed(spark, sf))
+
+
+# ================================================================ query patterns
+
+
+@register(
+    "most_common_parameters",
+    L
+    + ", "
+    + P
+    + "SELECT param, count(*) AS occurrences FROM params GROUP BY 1 ORDER BY occurrences DESC, param ASC LIMIT 20",
+)
+def q_most_common_parameters(spark, sf):
+    return agg.most_common_parameters(_parsed(spark, sf))
+
+
+@register(
+    "parameter_value_distributions",
+    L
+    + ", "
+    + P
+    + """
+, pc AS (SELECT param, count(*) AS c FROM params GROUP BY 1 ORDER BY c DESC, param ASC LIMIT 10),
+pv AS (SELECT p.param, p.value, count(*) AS occurrences
+       FROM params p JOIN pc USING (param) GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY param ORDER BY occurrences DESC, value ASC) AS r FROM pv)
+SELECT param, value, occurrences FROM rk WHERE r <= 10
+""",
+)
+def q_parameter_value_distributions(spark, sf):
+    return agg.parameter_value_distributions(_parsed(spark, sf))
+
+
+@register(
+    "top_query_signatures",
+    L
+    + f"""
+SELECT sig AS signature, count(*) AS requests
+FROM (SELECT {oc.SIGNATURE_SQL} AS sig FROM logs)
+GROUP BY 1 ORDER BY requests DESC, signature ASC LIMIT 20
+""",
+)
+def q_top_query_signatures(spark, sf):
+    return agg.top_query_signatures(_parsed(spark, sf))
+
+
+# ================================================================ slowness: time
+
+
+@register(
+    "requests_by_hour_of_day",
+    L + "SELECT CAST(hour(ts_s) AS INT) AS hour_of_day, count(*) AS requests FROM logs GROUP BY 1",
+)
+def q_requests_by_hour_of_day(spark, sf):
+    return agg.requests_by_hour_of_day(_parsed(spark, sf))
+
+
+@register(
+    "peak_hour",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day, count(*) AS requests FROM logs
+GROUP BY 1 ORDER BY requests DESC, hour_of_day ASC LIMIT 1
+""",
+)
+def q_peak_hour(spark, sf):
+    return agg.peak_hour(_parsed(spark, sf))
+
+
+@register(
+    "requests_per_minute",
+    L
+    + """
+SELECT strftime(date_trunc('minute', ts_s), '%Y-%m-%d %H:%M:%S') AS minute,
+       count(*) AS requests
+FROM logs GROUP BY 1
+""",
+)
+def q_requests_per_minute(spark, sf):
+    return agg.requests_per_minute(_parsed(spark, sf))
+
+
+@register(
+    "peak_minute",
+    L
+    + """
+SELECT strftime(date_trunc('minute', ts_s), '%Y-%m-%d %H:%M:%S') AS minute,
+       count(*) AS requests
+FROM logs GROUP BY 1 ORDER BY requests DESC, minute ASC LIMIT 1
+""",
+)
+def q_peak_minute(spark, sf):
+    return agg.peak_minute(_parsed(spark, sf))
+
+
+@register(
+    "requests_per_5min",
+    L
+    + """
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts_s), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS requests
+FROM logs GROUP BY 1
+""",
+)
+def q_requests_per_5min(spark, sf):
+    return agg.requests_per_5min(_parsed(spark, sf))
+
+
+@register(
+    "largest_traffic_spikes",
+    L
+    + """
+, b AS (SELECT time_bucket(INTERVAL 5 MINUTE, ts_s) AS bkt, CAST(count(*) AS BIGINT) AS requests
+        FROM logs GROUP BY 1),
+l AS (SELECT strftime(bkt, '%Y-%m-%d %H:%M:%S') AS time, requests,
+             lag(requests) OVER (ORDER BY bkt) AS prev FROM b)
+SELECT time, round((requests - prev) / prev * 100, 4) AS rate_change_pct, requests
+FROM l WHERE prev IS NOT NULL AND prev > 0
+ORDER BY abs((requests - prev) / prev * 100) DESC, time ASC LIMIT 5
+""",
+)
+def q_largest_traffic_spikes(spark, sf):
+    return _r(agg.largest_traffic_spikes(_parsed(spark, sf)), ["rate_change_pct"])
+
+
+@register(
+    "requests_by_day_of_week",
+    L + "SELECT dayname(ts_s) AS day_of_week, count(*) AS requests FROM logs GROUP BY 1",
+)
+def q_requests_by_day_of_week(spark, sf):
+    return agg.requests_by_day_of_week(_parsed(spark, sf))
+
+
+# ================================================================ slowness: cache
+
+
+@register(
+    "high_cache_miss_endpoints",
+    L
+    + """
+SELECT path, round(avg(CASE WHEN cache_status = 'miss' THEN 1.0 ELSE 0.0 END) * 100, 4) AS miss_rate
+FROM logs WHERE cache_status IS NOT NULL AND path IS NOT NULL
+GROUP BY path
+ORDER BY avg(CASE WHEN cache_status = 'miss' THEN 1.0 ELSE 0.0 END) DESC, path ASC LIMIT 20
+""",
+)
+def q_high_cache_miss_endpoints(spark, sf):
+    return _r(agg.high_cache_miss_endpoints(_parsed(spark, sf)), ["miss_rate"])
+
+
+@register(
+    "cache_miss_rate_by_hour",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day,
+       round(avg(CASE WHEN cache_status = 'miss' THEN 1.0 ELSE 0.0 END) * 100, 4) AS miss_rate
+FROM logs WHERE cache_status IS NOT NULL GROUP BY 1
+""",
+)
+def q_cache_miss_rate_by_hour(spark, sf):
+    return _r(agg.cache_miss_rate_by_hour(_parsed(spark, sf)), ["miss_rate"])
+
+
+@register(
+    "hourly_cache_performance",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day,
+       CAST(sum(CASE WHEN cache_status = 'hit' THEN 1 ELSE 0 END) AS BIGINT) AS hit_count,
+       CAST(sum(CASE WHEN cache_status = 'miss' THEN 1 ELSE 0 END) AS BIGINT) AS miss_count,
+       round(avg(CASE WHEN cache_status = 'hit' THEN 1.0 ELSE 0.0 END) * 100, 4) AS hit_rate,
+       round(avg(CASE WHEN cache_status = 'miss' THEN 1.0 ELSE 0.0 END) * 100, 4) AS miss_rate
+FROM logs WHERE cache_status IS NOT NULL GROUP BY 1
+""",
+)
+def q_hourly_cache_performance(spark, sf):
+    return _r(agg.hourly_cache_performance(_parsed(spark, sf)), ["hit_rate", "miss_rate"])
+
+
+# ================================================================ slowness: sizes
+
+
+@register(
+    "large_response_endpoints",
+    L
+    + """
+SELECT path, round(avg(response_size), 4) AS mean_size,
+       max(response_size) AS max_size, count(*) AS request_count
+FROM logs WHERE response_size IS NOT NULL AND path IS NOT NULL
+GROUP BY path ORDER BY avg(response_size) DESC, path ASC LIMIT 20
+""",
+)
+def q_large_response_endpoints(spark, sf):
+    return _r(agg.large_response_endpoints(_parsed(spark, sf)), ["mean_size"])
+
+
+@register(
+    "outlier_large_responses",
+    L
+    + """
+, t AS (SELECT quantile_cont(response_size, 0.99) AS p99 FROM logs WHERE response_size IS NOT NULL)
+SELECT path, round(p99, 4) AS p99_threshold, CAST(count(*) AS BIGINT) AS outliers
+FROM logs, t
+WHERE response_size IS NOT NULL AND path IS NOT NULL AND response_size > p99
+GROUP BY 1, 2 ORDER BY outliers DESC, path ASC LIMIT 10
+""",
+)
+def q_outlier_large_responses(spark, sf):
+    return _r(agg.outlier_large_responses(_parsed(spark, sf)), ["p99_threshold"])
+
+
+@register(
+    "hourly_response_sizes",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day,
+       round(avg(response_size) / 1048576.0, 6) AS mean_mb,
+       round(quantile_cont(response_size, 0.5) / 1048576.0, 6) AS median_mb,
+       round(quantile_cont(response_size, 0.95) / 1048576.0, 6) AS p95_mb
+FROM logs WHERE response_size IS NOT NULL AND path IS NOT NULL GROUP BY 1
+""",
+)
+def q_hourly_response_sizes(spark, sf):
+    return _r(
+        agg.hourly_response_sizes(_parsed(spark, sf)),
+        ["mean_mb", "median_mb", "p95_mb"],
+        nd=6,
+    )
+
+
+# ================================================================ slowness: errors
+
+
+@register(
+    "high_error_rate_endpoints",
+    L
+    + """
+SELECT path, round(avg(CASE WHEN status_code >= 400 THEN 1.0 ELSE 0.0 END) * 100, 4) AS error_rate
+FROM logs WHERE status_code IS NOT NULL AND path IS NOT NULL
+GROUP BY path
+ORDER BY avg(CASE WHEN status_code >= 400 THEN 1.0 ELSE 0.0 END) DESC, path ASC LIMIT 20
+""",
+)
+def q_high_error_rate_endpoints(spark, sf):
+    return _r(agg.high_error_rate_endpoints(_parsed(spark, sf)), ["error_rate"])
+
+
+@register(
+    "server_errors_by_hour",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day, count(*) AS server_errors
+FROM logs WHERE status_code >= 500 AND path IS NOT NULL GROUP BY 1
+""",
+)
+def q_server_errors_by_hour(spark, sf):
+    return agg.server_errors_by_hour(_parsed(spark, sf))
+
+
+@register(
+    "hourly_error_rates",
+    L
+    + """
+SELECT CAST(hour(ts_s) AS INT) AS hour_of_day,
+       count(*) AS total,
+       CAST(sum(CASE WHEN status_code >= 400 AND status_code < 500 THEN 1 ELSE 0 END) AS BIGINT) AS count_4xx,
+       round(avg(CASE WHEN status_code >= 400 AND status_code < 500 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_4xx,
+       CAST(sum(CASE WHEN status_code >= 500 AND status_code < 600 THEN 1 ELSE 0 END) AS BIGINT) AS count_5xx,
+       round(avg(CASE WHEN status_code >= 500 AND status_code < 600 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_5xx
+FROM logs WHERE status_code IS NOT NULL AND path IS NOT NULL GROUP BY 1
+""",
+)
+def q_hourly_error_rates(spark, sf):
+    return _r(agg.hourly_error_rates(_parsed(spark, sf)), ["pct_4xx", "pct_5xx"])
+
+
+# ================================================================ slowness: queries / IPs / UA
+
+
+@register(
+    "complex_query_endpoints",
+    L
+    + """
+SELECT path, round(avg(param_count), 4) AS avg_params,
+       CAST(max(param_count) AS INT) AS max_params, count(*) AS request_count
+FROM logs WHERE param_count > 5
+GROUP BY path ORDER BY avg(param_count) DESC, path ASC LIMIT 20
+""",
+)
+def q_complex_query_endpoints(spark, sf):
+    return _r(agg.complex_query_endpoints(_parsed(spark, sf)), ["avg_params"])
+
+
+@register(
+    "top_request_ips",
+    L
+    + """
+SELECT ip_address, count(*) AS requests FROM logs WHERE ip_address IS NOT NULL
+GROUP BY 1 ORDER BY requests DESC, ip_address ASC LIMIT 20
+""",
+)
+def q_top_request_ips(spark, sf):
+    return agg.top_request_ips(_parsed(spark, sf))
+
+
+@register(
+    "top_request_ips_with_ua",
+    L
+    + """
+, tops AS (SELECT ip_address, CAST(count(*) AS BIGINT) AS request_count FROM logs
+           WHERE ip_address IS NOT NULL GROUP BY 1
+           ORDER BY request_count DESC, ip_address ASC LIMIT 10),
+uac AS (SELECT l.ip_address, l.user_agent, CAST(count(*) AS BIGINT) AS ua_cnt
+        FROM logs l JOIN tops USING (ip_address)
+        WHERE l.user_agent IS NOT NULL GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY ip_address ORDER BY ua_cnt DESC, user_agent ASC) AS r,
+              CAST(count(*) OVER (PARTITION BY ip_address) AS BIGINT) AS uniq
+       FROM uac)
+SELECT t.ip_address, t.request_count,
+       CASE WHEN m.user_agent IS NULL THEN 'Unknown'
+            WHEN m.uniq > 1 THEN m.user_agent || ' (' || CAST(m.uniq AS VARCHAR) || ' unique UAs)'
+            ELSE m.user_agent END AS top_user_agent,
+       coalesce(m.ua_cnt, 0) AS top_ua_count,
+       round(coalesce(m.ua_cnt, 0) / t.request_count * 100, 4) AS top_ua_percentage,
+       coalesce(m.uniq, 0) AS unique_ua_count
+FROM tops t LEFT JOIN (SELECT * FROM rk WHERE r = 1) m USING (ip_address)
+""",
+)
+def q_top_request_ips_with_ua(spark, sf):
+    return _r(agg.top_request_ips_with_ua(_parsed(spark, sf)), ["top_ua_percentage"])
+
+
+@register(
+    "top_ips_by_request_rate",
+    L
+    + """
+, per AS (SELECT ip_address, CAST(count(*) AS BIGINT) AS total_requests,
+                 min(ts_s) AS mn, max(ts_s) AS mx
+          FROM logs WHERE ip_address IS NOT NULL GROUP BY 1),
+rt AS (SELECT ip_address, total_requests,
+              CASE WHEN date_diff('second', mn, mx) > 0
+                   THEN total_requests / (date_diff('second', mn, mx) / 60.0)
+                   ELSE total_requests / 1.0 END AS rate,
+              CASE WHEN date_diff('second', mn, mx) > 0
+                   THEN date_diff('second', mn, mx) / 60.0 ELSE 1.0 END AS span
+       FROM per)
+SELECT ip_address, round(rate, 4) AS requests_per_minute, total_requests,
+       round(span, 4) AS time_span_minutes
+FROM rt ORDER BY rate DESC, ip_address ASC LIMIT 10
+""",
+)
+def q_top_ips_by_request_rate(spark, sf):
+    return _r(
+        agg.top_ips_by_request_rate(_parsed(spark, sf)),
+        ["requests_per_minute", "time_span_minutes"],
+    )
+
+
+@register(
+    "user_agent_response_sizes",
+    L
+    + """
+SELECT user_agent, round(avg(response_size), 4) AS mean_size, count(*) AS request_count
+FROM logs WHERE user_agent IS NOT NULL AND response_size IS NOT NULL
+GROUP BY 1 ORDER BY avg(response_size) DESC, user_agent ASC LIMIT 10
+""",
+)
+def q_user_agent_response_sizes(spark, sf):
+    return _r(agg.user_agent_response_sizes(_parsed(spark, sf)), ["mean_size"])
+
+
+# ================================================================ drill-down + daily
+
+_EP = "/api/purchase"
+
+
+@register(
+    "endpoint_status_codes",
+    L
+    + f"SELECT status_code, count(*) AS requests FROM logs WHERE path = '{_EP}' AND status_code IS NOT NULL GROUP BY 1",
+)
+def q_endpoint_status_codes(spark, sf):
+    return agg.analyze_endpoint(_parsed(spark, sf), _EP)["status_codes"]
+
+
+@register(
+    "endpoint_requests_by_hour",
+    L
+    + f"SELECT CAST(hour(ts_s) AS INT) AS hour_of_day, count(*) AS requests FROM logs WHERE path = '{_EP}' GROUP BY 1",
+)
+def q_endpoint_requests_by_hour(spark, sf):
+    return agg.analyze_endpoint(_parsed(spark, sf), _EP)["requests_by_hour"]
+
+
+@register(
+    "daily_summary",
+    L
+    + """
+SELECT CAST(CAST(ts_s AS DATE) AS VARCHAR) AS day,
+       count(*) AS total_requests,
+       CAST(sum(CASE WHEN status_code >= 100 AND status_code < 200 THEN 1 ELSE 0 END) AS BIGINT) AS c1xx,
+       CAST(sum(CASE WHEN status_code >= 200 AND status_code < 300 THEN 1 ELSE 0 END) AS BIGINT) AS c2xx,
+       CAST(sum(CASE WHEN status_code >= 300 AND status_code < 400 THEN 1 ELSE 0 END) AS BIGINT) AS c3xx,
+       CAST(sum(CASE WHEN status_code >= 400 AND status_code < 500 THEN 1 ELSE 0 END) AS BIGINT) AS c4xx,
+       CAST(sum(CASE WHEN status_code >= 500 AND status_code < 600 THEN 1 ELSE 0 END) AS BIGINT) AS c5xx,
+       round(sum(CASE WHEN status_code >= 100 AND status_code < 200 THEN 1 ELSE 0 END) / count(*) * 100, 4) AS p1xx,
+       round(sum(CASE WHEN status_code >= 200 AND status_code < 300 THEN 1 ELSE 0 END) / count(*) * 100, 4) AS p2xx,
+       round(sum(CASE WHEN status_code >= 300 AND status_code < 400 THEN 1 ELSE 0 END) / count(*) * 100, 4) AS p3xx,
+       round(sum(CASE WHEN status_code >= 400 AND status_code < 500 THEN 1 ELSE 0 END) / count(*) * 100, 4) AS p4xx,
+       round(sum(CASE WHEN status_code >= 500 AND status_code < 600 THEN 1 ELSE 0 END) / count(*) * 100, 4) AS p5xx
+FROM logs GROUP BY 1
+""",
+)
+def q_daily_summary(spark, sf):
+    return _r(agg.daily_summary(_parsed(spark, sf)), ["p1xx", "p2xx", "p3xx", "p4xx", "p5xx"])
+
+
+# ================================================================ F5 time filter
+
+_NOW = "2024-01-31 00:00:00"
+_CUTOFF = "2024-01-21 00:00:00"  # _NOW - 240 hours
+
+
+@register(
+    "last_hours_window",
+    L
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS rows_kept,
+       strftime(min(ts_s), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(max(ts_s), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM logs WHERE ts_s >= TIMESTAMP '{_CUTOFF}'
+""",
+)
+def q_last_hours_window(spark, sf):
+    from datetime import datetime
+
+    p = _parsed(spark, sf)
+    kept = filter_last_hours(p, 240.0, now=datetime.fromisoformat(_NOW))
+    return kept.agg(
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.date_format(F.min("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+
+
+# ================================================================ joins / routing
+
+
+@register(
+    "broadcast_join_mktsegment",
+    """
+SELECT c.c_mktsegment AS mktsegment, count(*) AS orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_broadcast_join_mktsegment(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("orders"))
+    )
+
+
+@register(
+    "geoip_country_counts",
+    L
+    + """
+SELECT (['US','DE','GB','JP','FR','BR','IN','AU','NL','SE'])[CAST(split_part(ip_address, '.', 1) AS INT) % 10 + 1] AS country,
+       count(*) AS requests
+FROM logs GROUP BY 1
+""",
+)
+def q_geoip_country_counts(spark, sf):
+    from .datagen import geoip_dim
+
+    p = _parsed(spark, sf)
+    enriched = enrich_geoip(p, geoip_dim(spark, 256))
+    return enriched.groupBy("country").agg(F.count(F.lit(1)).alias("requests"))
+
+
+@register(
+    "routed_status_class_counts",
+    L
+    + """
+SELECT CASE WHEN status_code IS NULL OR status_code < 100 OR status_code >= 600 THEN 'other'
+            ELSE CAST(CAST(floor(status_code / 100.0) AS INT) AS VARCHAR) || 'xx' END AS route,
+       count(*) AS rows_routed
+FROM logs GROUP BY 1
+""",
+)
+def q_routed_status_class_counts(spark, sf):
+    p = _parsed(spark, sf)
+    return (
+        p.withColumn("route", status_class(F.col("status_code")))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("rows_routed"))
+    )
+
+
+# ================================================================ documents: text ops
+
+_STOPS = ["the", "and", "of", "in", "to"]
+
+
+def _stop_hits_sql(col: str = "text") -> str:
+    parts = [
+        f"CAST((length(' ' || {col} || ' ') - length(replace(' ' || {col} || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in _STOPS
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _stop_hits_spark(col) -> F.Column:
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    hits = None
+    for w in _STOPS:
+        h = (
+            (F.length(padded) - F.length(F.regexp_replace(padded, rf" {w} ", "")))
+            / (len(w) + 2)
+        ).cast("long")
+        hits = h if hits is None else hits + h
+    return hits
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS copies FROM documents GROUP BY 1",
+)
+def q_dedup_exact(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) AS fp
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@register(
+    "token_counts",
+    r"SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens FROM documents",
+)
+def q_token_counts(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok,
+         {_stop_hits_sql()} AS stop_hits,
+         length(text) AS nch,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(1.0, nch / 500.0)
+           + 0.4 * least(1.0, stop_hits / ntok * 5)
+           + 0.2 * (1.0 - (nch - nclean) / nch), 4) AS quality
+FROM t
+""",
+)
+def q_quality_scores(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    text = F.col("text")
+    ntok = F.size(F.split(text, r"\s+")).cast("double")
+    stop_hits = _stop_hits_spark(text)
+    nch = F.length(text)
+    nclean = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    quality = (
+        0.4 * F.least(F.lit(1.0), nch / 500.0)
+        + 0.4 * F.least(F.lit(1.0), stop_hits / ntok * 5)
+        + 0.2 * (1.0 - (nch - nclean) / nch)
+    )
+    return docs.select("doc_id", F.round(quality, 4).alias("quality"))
+
+
+@register(
+    "lang_id",
+    f"""
+WITH t AS (SELECT doc_id, {_stop_hits_sql()} AS en_hits FROM documents)
+SELECT doc_id, CASE WHEN en_hits >= 2 THEN 'en' ELSE 'und' END AS pred_lang FROM t
+""",
+)
+def q_lang_id(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    en_hits = _stop_hits_spark(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(en_hits >= 2, "en").otherwise("und").alias("pred_lang"),
+    )
+
+
+# ================================================================ embeddings
+
+
+@register(
+    "embedding_topk_cosine",
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT vec_id,
+                list_dot_product(embedding, qe)
+                / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))) AS c
+         FROM embeddings, q)
+SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id ASC LIMIT 10
+""",
+)
+def q_embedding_topk_cosine(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    joined = emb.crossJoin(F.broadcast(qv))
+    c = dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    return (
+        joined.select("vec_id", c.alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("c", 4).alias("cosine"))
+    )
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
