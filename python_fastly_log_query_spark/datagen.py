@@ -138,17 +138,23 @@ def generate_docs(
 def geoip_dim(spark: SparkSession, n_blocks: int = 256) -> DataFrame:
     """Small GeoIP-style dimension: contiguous uint32 ranges → country.
 
-    Broadcast-sized by construction (SURVEY.md §2.5); the enrich join is a
-    range theta-join against ``ip_to_long(ip)``.
+    Broadcast-sized by construction (SURVEY.md §2.5).  Rows carry a
+    ``prefix`` key (high-order 8 bits, replicated per /8 the block overlaps)
+    so ``enrich_geoip`` plans a BroadcastHashJoin (equi-join on prefix +
+    residual range predicate) instead of a nested-loop range join — the
+    strategy that still holds with a million-block MaxMind dim at 100 TB.
     """
     countries = ["US", "DE", "GB", "JP", "FR", "BR", "IN", "AU", "NL", "SE"]
     block = (2**32) // n_blocks
-    rows = [
-        (i * block, (i + 1) * block - 1, countries[i % len(countries)], f"AS{64496 + i}")
-        for i in range(n_blocks)
-    ]
+    rows = []
+    for i in range(n_blocks):
+        lo, hi = i * block, (i + 1) * block - 1
+        for prefix in range(lo >> 24, (hi >> 24) + 1):
+            rows.append(
+                (prefix, lo, hi, countries[i % len(countries)], f"AS{64496 + i}")
+            )
     return spark.createDataFrame(
-        rows, "ip_lo long, ip_hi long, country string, asn string"
+        rows, "prefix int, ip_lo long, ip_hi long, country string, asn string"
     )
 
 

@@ -1,0 +1,234 @@
+"""Deduplication & near-duplicate detection over the documents table.
+
+Training-data-pipeline operators beyond the reference's own surface
+(driver brief): exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.  All are pure Catalyst higher-order column
+expressions — no UDFs — so they run JVM-side, whole-stage-codegen'd, and
+scale by partitioning alone.
+
+Determinism contract: every hash is ``md5`` of an explicit string, so the
+DuckDB oracles in queries.py recompute byte-identical values.  MinHash
+uses the lexicographic order of md5 hex digests as its permutation proxy
+(a valid uniform order; no RNG, no seed state).
+
+Scale notes (100 TB):
+- signatures/simhash are embarrassingly parallel projections;
+- LSH candidate generation shuffles once on (band, key) — band keys are
+  md5s, so the shuffle is uniformly distributed by construction;
+- the exact-Jaccard verify touches only LSH candidates, never the full
+  cross product;
+- embedding near-dup brute force is quadratic and exists as the
+  correctness baseline; the LSH-bucketed ANN path in similarity.py is the
+  scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles; texts shorter than n words yield one shingle
+    (the whole text)."""
+    toks = F.split(text, " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(text))
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _hash_k(k: int):
+    # one-arg closure: a default-arg lambda would have two parameters and
+    # pyspark would bind the second to the array index
+    return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 16) -> F.Column:
+    """Array of ``num_hashes`` minhash values: for permutation k, the
+    lexicographic min of ``md5('<k>:' || shingle)``."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _hash_k(k))) for k in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col)), num_hashes).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing >=1 band bucket.
+
+    band key = md5 of the band's minhash slice; one shuffle on
+    (band, key); output (doc_a < doc_b) distinct.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(text: F.Column, bits: int = 16) -> F.Column:
+    """``bits``-bit SimHash over word tokens.
+
+    Bit j of a token's fingerprint = (hex digit j of md5(token)) >= 8.
+    SimHash bit j = majority vote across tokens (+1/-1 sum >= 0), packed
+    little-endian into a long.
+    """
+    toks = F.split(text, " ")
+
+    def _vote_merge(j: int):
+        return lambda s, t: s + F.when(
+            F.substring(F.md5(t), j + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        ).otherwise(-1)
+
+    # majority vote per bit via aggregate over tokens
+    acc = None
+    for j in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _vote_merge(j))
+        bit = F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << j).cast("long")
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
+    return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Pairs of docs whose SimHashes differ in <= max_hamming bits.
+
+    Self-join blocked on half-signatures (pigeonhole: <=2 differing bits
+    means at least one half matches exactly) — same shuffle-once shape as
+    LSH banding; never the full cross product.
+    """
+    half = bits // 2
+    lo_mask, hi_shift = (1 << half) - 1, half
+    s = simhash_docs(docs, bits).select(
+        "doc_id",
+        F.col("simhash"),
+        (F.col("simhash").bitwiseAND(F.lit(lo_mask))).alias("lo"),
+        (F.shiftright("simhash", hi_shift)).alias("hi"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    blocked = a.join(
+        b,
+        ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        blocked.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard(text_a: F.Column, text_b: F.Column, n: int = 3) -> F.Column:
+    """Exact Jaccard similarity of distinct word n-gram sets."""
+    sa = F.array_distinct(word_shingles(text_a, n))
+    sb = F.array_distinct(word_shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return inter / union
+
+
+def jaccard_topk(docs: DataFrame, query_doc_id: int = 0, k: int = 10, n: int = 3) -> DataFrame:
+    """Top-k most-similar docs to one query doc by exact n-gram Jaccard —
+    brute force over a broadcast single-row query side (correctness
+    baseline; LSH narrows candidates at scale)."""
+    q = docs.filter(F.col("doc_id") == query_doc_id).select(
+        F.col("text").alias("_qtext")
+    )
+    sim = ngram_jaccard(F.col("text"), F.col("_qtext"), n)
+    return (
+        docs.filter(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.round(sim, 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame, threshold: float = 0.5, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact n-gram Jaccard >= threshold.
+
+    The canonical near-dup pipeline: cheap banding shuffle -> exact verify
+    on candidates only."""
+    cand = lsh_candidate_pairs(docs, num_hashes, bands)
+    d = docs.select("doc_id", "text")
+    joined = (
+        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "_ta"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "_tb"), "doc_b")
+    )
+    jac = ngram_jaccard(F.col("_ta"), F.col("_tb"))
+    return (
+        joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: md5(text) -> keeper (min doc_id) + copy count."""
+    return docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )

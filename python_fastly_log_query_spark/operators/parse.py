@@ -42,6 +42,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import PARSED_FIELDS, parsed_schema_with
 
@@ -49,26 +50,53 @@ from ..schema import PARSED_FIELDS, parsed_schema_with
 # <priority>timestamp cache-server process[pid]: IP "-" "-" date
 #   "METHOD path" status size "-" "user-agent" cache-status
 # 16 capture groups, same group order as the reference pattern
-# (reference src/parse/log_parser.py:20-35).
-_FULL_LINE = (
-    r"<(\d+)>"                                    # 1 priority
-    r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"     # 2 timestamp
-    r"\s+(\S+)"                                   # 3 cache server
-    r"\s+(\S+)\[(\d+)\]:"                         # 4 process, 5 pid
-    r"\s+(\S+)"                                   # 6 ip
-    r'\s+"([^"]*)"'                               # 7 referrer1
-    r'\s+"([^"]*)"'                               # 8 referrer2
-    r'\s+([^"]+?)(?=\s+")'                        # 9 date string
-    r'\s+"([A-Z]+)\s+([^"]+)"'                    # 10 method, 11 full path
-    r"\s+(\d+)"                                   # 12 status
-    r"\s+(\d+)"                                   # 13 size
-    r'\s+"([^"]*)"'                               # 14 referrer
-    r'\s+"([^"]*)"'                               # 15 user agent
-    r"\s+(\S+)"                                   # 16 cache status
-)
+# (reference src/parse/log_parser.py:20-35), expressed as (field, piece)
+# segments with exactly one capture group each so that column pruning can
+# demote unneeded groups to non-capturing (identical match semantics,
+# far fewer Python string allocations in the hot path).
+_LINE_SEGMENTS: list[tuple[str, str]] = [
+    ("priority", r"<(\d+)>"),
+    ("timestamp", r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)"),
+    ("cache_server", r"\s+(\S+)"),
+    ("process", r"\s+(\S+)"),
+    ("pid", r"\[(\d+)\]:"),
+    ("ip_address", r"\s+(\S+)"),
+    ("referrer1", r'\s+"([^"]*)"'),
+    ("referrer2", r'\s+"([^"]*)"'),
+    ("date_string", r'\s+([^"]+?)(?=\s+")'),
+    ("http_method", r'\s+"([A-Z]+)'),
+    ("_full_path", r'\s+([^"]+)"'),
+    ("status_code", r"\s+(\d+)"),
+    ("response_size", r"\s+(\d+)"),
+    ("referrer", r'\s+"([^"]*)"'),
+    ("user_agent", r'\s+"([^"]*)"'),
+    ("cache_status", r"\s+(\S+)"),
+]
+
+_FULL_LINE = "".join(piece for _, piece in _LINE_SEGMENTS)
 
 # .match() anchoring for use with Series.str.extract (which uses search).
 FAST_PATTERN = re.compile(r"\A" + _FULL_LINE)
+
+
+def _pruned_fast_pattern(fields: frozenset) -> tuple[re.Pattern, dict[str, int]]:
+    """Compile the full-line pattern with only ``fields`` capturing.
+
+    Non-capturing groups match identically, so the fast/fallback split is
+    byte-for-byte the same as the reference pattern — only the number of
+    extracted (allocated) strings shrinks.  Returns the pattern and a
+    field -> extract-column-index map.  Group 1 always captures so callers
+    can test "did the fast path match" via extract column 0.
+    """
+    pieces, mapping, gi = [], {}, 0
+    for idx, (field, piece) in enumerate(_LINE_SEGMENTS):
+        if field in fields or idx == 0:
+            mapping[field] = gi
+            gi += 1
+            pieces.append(piece)
+        else:
+            pieces.append(piece.replace("(", "(?:", 1).replace("(?:?=", "(?=", 1))
+    return re.compile(r"\A" + "".join(pieces)), mapping
 
 # Fallback per-field probes (reference src/parse/log_parser.py:111-186).
 P_TIMESTAMP = re.compile(r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z)")
@@ -121,108 +149,135 @@ def _split_query(full_path: Optional[str]):
     return path, qs, params
 
 
-def parse_lines_pdf(lines: pd.Series) -> pd.DataFrame:
+# which capture-group / probe feeds which output column
+_FAST_GROUPS = {
+    "priority": 0, "timestamp": 1, "cache_server": 2, "process": 3, "pid": 4,
+    "ip_address": 5, "referrer1": 6, "referrer2": 7, "date_string": 8,
+    "http_method": 9, "_full_path": 10, "status_code": 11, "response_size": 12,
+    "referrer": 13, "user_agent": 14, "cache_status": 15,
+}
+_INT_COLS = frozenset({"priority", "pid", "status_code", "response_size"})
+_PATH_COLS = ("path", "query_string", "query_params")
+
+
+def parse_lines_pdf(lines: pd.Series, columns: list[str] | None = None) -> pd.DataFrame:
     """Parse a batch of raw lines into the parsed-record frame.
 
     Pure pandas — reused by both the Spark mapInPandas stage and unit tests.
     Blank (post-strip) lines yield rows of all-NaN that the caller drops.
+
+    ``columns`` restricts which parsed fields are materialized (manual
+    column pruning through the UDF boundary — Catalyst cannot push a
+    projection into ``mapInPandas``, so the operator does it itself).
+    Field extraction semantics are unchanged; unneeded fallback probes and
+    the path/query split are simply skipped.
     """
+    want = set(columns) if columns is not None else set(
+        [f.name for f in PARSED_FIELDS]
+    )
+    need_path = bool(want & set(_PATH_COLS))
     raw = lines.astype("string").str.strip()
     n = len(raw)
     out = pd.DataFrame(index=raw.index)
-    out["raw_line"] = raw
+    if "raw_line" in want:
+        out["raw_line"] = raw
 
     nonblank = (raw.notna() & (raw != "")).fillna(False).astype(bool)
 
-    # ---- fast path: anchored full-line pattern ----
-    ext = raw.str.extract(FAST_PATTERN)
+    want_fields = {c for c in _FAST_GROUPS if c in want}
+    if need_path:
+        want_fields.add("_full_path")
+
+    # ---- fast path: anchored full-line pattern (pruned capture set) ----
+    pattern, groups = _pruned_fast_pattern(frozenset(want_fields))
+    ext = raw.str.extract(pattern)
     fast = ext[0].notna() & nonblank
     slow = ~fast & nonblank
 
-    # columns start all-null
-    for col in (
-        "priority", "timestamp", "cache_server", "process", "pid", "ip_address",
-        "referrer1", "referrer2", "date_string", "http_method", "_full_path",
-        "status_code", "response_size", "referrer", "user_agent", "cache_status",
-    ):
+    for col in want_fields:
         out[col] = None
 
     if fast.any():
-        out.loc[fast, "priority"] = _safe_int(ext.loc[fast, 0])
-        out.loc[fast, "timestamp"] = _parse_ts(_none_if_empty(ext.loc[fast, 1]))
-        out.loc[fast, "cache_server"] = _none_if_empty(ext.loc[fast, 2])
-        out.loc[fast, "process"] = _none_if_empty(ext.loc[fast, 3])
-        out.loc[fast, "pid"] = _safe_int(ext.loc[fast, 4])
-        out.loc[fast, "ip_address"] = _none_if_empty(ext.loc[fast, 5])
-        out.loc[fast, "referrer1"] = _none_if_empty(ext.loc[fast, 6])
-        out.loc[fast, "referrer2"] = _none_if_empty(ext.loc[fast, 7])
-        out.loc[fast, "date_string"] = _none_if_empty(ext.loc[fast, 8])
-        out.loc[fast, "http_method"] = _none_if_empty(ext.loc[fast, 9])
-        out.loc[fast, "_full_path"] = _none_if_empty(ext.loc[fast, 10])
-        out.loc[fast, "status_code"] = _safe_int(ext.loc[fast, 11])
-        out.loc[fast, "response_size"] = _safe_int(ext.loc[fast, 12])
-        out.loc[fast, "referrer"] = _none_if_empty(ext.loc[fast, 13])
-        out.loc[fast, "user_agent"] = _none_if_empty(ext.loc[fast, 14])
-        out.loc[fast, "cache_status"] = _none_if_empty(ext.loc[fast, 15])
+        for col in want_fields:
+            g = groups[col]
+            if col in _INT_COLS:
+                out.loc[fast, col] = _safe_int(ext.loc[fast, g])
+            elif col == "timestamp":
+                out.loc[fast, col] = _parse_ts(_none_if_empty(ext.loc[fast, g]))
+            else:
+                out.loc[fast, col] = _none_if_empty(ext.loc[fast, g])
 
     # ---- fallback probes, each independent, only over non-matching rows ----
     if slow.any():
         sl = raw[slow]
-        out.loc[slow, "timestamp"] = _parse_ts(sl.str.extract(P_TIMESTAMP)[0])
-        out.loc[slow, "priority"] = _safe_int(sl.str.extract(P_PRIORITY)[0])
-        out.loc[slow, "ip_address"] = _none_if_empty(sl.str.extract(P_IP)[0])
+        if "timestamp" in want_fields:
+            out.loc[slow, "timestamp"] = _parse_ts(sl.str.extract(P_TIMESTAMP)[0])
+        if "priority" in want_fields:
+            out.loc[slow, "priority"] = _safe_int(sl.str.extract(P_PRIORITY)[0])
+        if "ip_address" in want_fields:
+            out.loc[slow, "ip_address"] = _none_if_empty(sl.str.extract(P_IP)[0])
 
-        http = sl.str.extract(P_HTTP)
-        out.loc[slow, "http_method"] = _none_if_empty(http[0])
-        out.loc[slow, "_full_path"] = http[1].where(http[0].notna(), other=None)
+        if "http_method" in want_fields or "_full_path" in want_fields:
+            http = sl.str.extract(P_HTTP)
+            if "http_method" in want_fields:
+                out.loc[slow, "http_method"] = _none_if_empty(http[0])
+            if "_full_path" in want_fields:
+                out.loc[slow, "_full_path"] = http[1].where(http[0].notna(), other=None)
 
-        out.loc[slow, "status_code"] = _safe_int(sl.str.extract(P_STATUS)[0])
-        out.loc[slow, "response_size"] = _safe_int(sl.str.extract(P_SIZE)[1])
+        if "status_code" in want_fields:
+            out.loc[slow, "status_code"] = _safe_int(sl.str.extract(P_STATUS)[0])
+        if "response_size" in want_fields:
+            out.loc[slow, "response_size"] = _safe_int(sl.str.extract(P_SIZE)[1])
 
-        ua1 = sl.str.extract(P_UA_MOZILLA)[0]
-        ua2 = sl.str.extract(P_UA_LONG)[0]
-        ua2 = ua2.where(ua2.notna() & ua2.str.contains("Mozilla", regex=False), other=None)
-        out.loc[slow, "user_agent"] = ua1.fillna(ua2)
+        if "user_agent" in want_fields:
+            ua1 = sl.str.extract(P_UA_MOZILLA)[0]
+            ua2 = sl.str.extract(P_UA_LONG)[0]
+            ua2 = ua2.where(ua2.notna() & ua2.str.contains("Mozilla", regex=False), other=None)
+            out.loc[slow, "user_agent"] = ua1.fillna(ua2)
 
-        out.loc[slow, "cache_status"] = _none_if_empty(sl.str.extract(P_CACHE)[0])
-        srv = sl.str.extract(P_SERVER)[0]
-        out.loc[slow, "cache_server"] = ("cache-" + srv).where(srv.notna(), other=None)
-        proc = sl.str.extract(P_PROCESS)
-        out.loc[slow, "process"] = _none_if_empty(proc[0])
-        out.loc[slow, "pid"] = _safe_int(proc[1])
+        if "cache_status" in want_fields:
+            out.loc[slow, "cache_status"] = _none_if_empty(sl.str.extract(P_CACHE)[0])
+        if "cache_server" in want_fields:
+            srv = sl.str.extract(P_SERVER)[0]
+            out.loc[slow, "cache_server"] = ("cache-" + srv).where(srv.notna(), other=None)
+        if "process" in want_fields or "pid" in want_fields:
+            proc = sl.str.extract(P_PROCESS)
+            if "process" in want_fields:
+                out.loc[slow, "process"] = _none_if_empty(proc[0])
+            if "pid" in want_fields:
+                out.loc[slow, "pid"] = _safe_int(proc[1])
 
     # ---- path / query split (shared by both branches) ----
-    paths = [None] * n
-    qss = [None] * n
-    params_col = [None] * n
-    fp_list = out["_full_path"].tolist()
-    fast_arr = fast.to_numpy()
-    slow_arr = slow.to_numpy()
-    for i in range(n):
-        fp = fp_list[i]
-        if isinstance(fp, str):
-            p, qs, params = _split_query(fp)
-            paths[i], qss[i], params_col[i] = p, qs, params
-        elif slow_arr[i]:
-            # fallback branch with no HTTP match: keys absent → all NULL
-            pass
-        elif fast_arr[i]:
-            # fast path with empty full_path can't happen ([^"]+ is 1+ chars)
-            pass
-    out["path"] = pd.Series(paths, index=raw.index, dtype="object")
-    out["query_string"] = pd.Series(qss, index=raw.index, dtype="object")
-    out["query_params"] = pd.Series(params_col, index=raw.index, dtype="object")
-    out = out.drop(columns=["_full_path"])
+    if need_path:
+        paths = [None] * n
+        qss = [None] * n
+        params_col = [None] * n
+        fp_list = out["_full_path"].tolist()
+        for i in range(n):
+            fp = fp_list[i]
+            if isinstance(fp, str):
+                # fallback branch with no HTTP match keeps all-NULL keys;
+                # fast path always has a non-empty full_path ([^"]+ is 1+)
+                paths[i], qss[i], params_col[i] = _split_query(fp)
+        if "path" in want:
+            out["path"] = pd.Series(paths, index=raw.index, dtype="object")
+        if "query_string" in want:
+            out["query_string"] = pd.Series(qss, index=raw.index, dtype="object")
+        if "query_params" in want:
+            out["query_params"] = pd.Series(params_col, index=raw.index, dtype="object")
+        out = out.drop(columns=["_full_path"], errors="ignore")
 
     # mark blank rows for the caller to drop
     out["_keep"] = nonblank
 
     # final dtypes for Arrow
-    out["priority"] = out["priority"].astype("Int64").astype("Int32")
-    out["pid"] = out["pid"].astype("Int64").astype("Int32")
-    out["status_code"] = out["status_code"].astype("Int64").astype("Int32")
-    out["response_size"] = out["response_size"].astype("Int64")
-    out["timestamp"] = pd.to_datetime(out["timestamp"])
+    for col in ("priority", "pid", "status_code"):
+        if col in want:
+            out[col] = out[col].astype("Int64").astype("Int32")
+    if "response_size" in want:
+        out["response_size"] = out["response_size"].astype("Int64")
+    if "timestamp" in want:
+        out["timestamp"] = pd.to_datetime(out["timestamp"])
     return out
 
 
@@ -233,24 +288,39 @@ def parse_logs(
     df: DataFrame,
     line_col: str = "text",
     passthrough: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Parse ``df[line_col]`` into the parsed-record schema via mapInPandas.
 
     ``passthrough`` columns (e.g. url, warc_ts, lang) are carried alongside
     the parsed fields.  Upstream column pruning applies: only
     ``passthrough + [line_col]`` is read from the source.
+
+    ``columns`` prunes the parsed output to the named fields (order follows
+    the canonical record order).  Catalyst cannot push a projection through
+    ``mapInPandas``, so callers that need a few fields should prune here —
+    at 100 TB the Arrow transfer of unused fields (``raw_line`` alone
+    doubles the bytes) is the difference between a parse-bound and an
+    IO-bound stage.
     """
     passthrough = passthrough or []
+    out_cols = (
+        [c for c in PARSED_ORDER if c in set(columns)] if columns is not None
+        else PARSED_ORDER
+    )
     in_schema = df.select(*passthrough, line_col).schema
-    out_schema = parsed_schema_with([in_schema[c] for c in passthrough])
+    out_schema = T.StructType(
+        [in_schema[c] for c in passthrough]
+        + [f for f in PARSED_FIELDS if f.name in set(out_cols)]
+    )
 
     def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = parse_lines_pdf(pdf[line_col])
+            parsed = parse_lines_pdf(pdf[line_col], columns=out_cols)
             keep = parsed.pop("_keep")
             res = pd.concat(
                 [pdf[passthrough].reset_index(drop=True),
-                 parsed[PARSED_ORDER].reset_index(drop=True)],
+                 parsed[out_cols].reset_index(drop=True)],
                 axis=1,
             )
             yield res[keep.reset_index(drop=True).to_numpy()]

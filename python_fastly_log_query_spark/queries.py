@@ -895,6 +895,195 @@ def q_embedding_topk_cosine(spark, sf):
     )
 
 
+# ================================================================ dedup / near-dup
+#
+# Shared determinism contract with operators/dedup.py: shingles are word
+# 3-grams, every hash is md5 of an explicit string, minhash order is
+# lexicographic md5 hex.  The SQL below recomputes the identical values.
+
+_NH, _NB = 16, 4  # minhash count, LSH bands
+_ROWS = _NH // _NB
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS lt FROM documents),
+sh AS (SELECT doc_id, text,
+         CASE WHEN len(lt) >= 3
+              THEN list_transform(range(1, len(lt) - 1),
+                                  i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2])
+              ELSE [text] END AS shingles
+       FROM toks)
+"""
+
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{k}:' || s)))" for k in range(_NH)
+) + "]"
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, md5("
+    + " || '|' || ".join(f"sg[{b * _ROWS + r + 1}]" for r in range(_ROWS))
+    + ") AS key FROM sig"
+    for b in range(_NB)
+)
+
+_LSH_CTE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + f", sig AS (SELECT doc_id, {_SIG_SQL} AS sg FROM sh)"
+    + f", bands AS ({_BANDS_SQL})"
+    + """, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)"""
+)
+
+
+@register("dedup_minhash_lsh", _LSH_CTE + "\nSELECT doc_a, doc_b FROM pairs")
+def q_dedup_minhash_lsh(spark, sf):
+    from .operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return lsh_candidate_pairs(docs, _NH, _NB)
+
+
+def _simhash_sql(col: str = "lt", bits: int = 16) -> str:
+    hexhi = "('8','9','a','b','c','d','e','f')"
+    terms = [
+        f"(CASE WHEN list_sum(list_transform({col}, t -> CASE WHEN substr(md5(t), {j + 1}, 1) IN {hexhi} THEN 1 ELSE -1 END)) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "dedup_simhash",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents)\n"
+    f"SELECT doc_id, {_simhash_sql()} AS simhash FROM toks",
+)
+def q_dedup_simhash(spark, sf):
+    from .operators.dedup import simhash_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_docs(docs)
+
+
+@register(
+    "dedup_jaccard_topk",
+    "WITH "
+    + _SHINGLES_CTE
+    + """, q AS (SELECT list_distinct(shingles) AS qs FROM sh WHERE doc_id = 0)
+SELECT doc_id,
+       round(CAST(len(list_intersect(list_distinct(shingles), qs)) AS DOUBLE)
+             / len(list_distinct(list_concat(shingles, qs))), 4) AS jaccard
+FROM sh, q WHERE doc_id <> 0
+ORDER BY jaccard DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_dedup_jaccard_topk(spark, sf):
+    from .operators.dedup import jaccard_topk
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return jaccard_topk(docs, 0, 10)
+
+
+@register(
+    "dedup_lsh_verified",
+    _LSH_CTE
+    + """
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+""",
+)
+def q_dedup_lsh_verified(spark, sf):
+    from .operators.dedup import lsh_verified_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return lsh_verified_pairs(docs, 0.5, _NH, _NB)
+
+
+@register(
+    "simhash_neardup_pairs",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),\n"
+    f"s AS (SELECT doc_id, {_simhash_sql()} AS simhash FROM toks),\n"
+    "blocked AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming\n"
+    "  FROM s a JOIN s b ON a.doc_id < b.doc_id\n"
+    "  AND ((a.simhash & 255 = b.simhash & 255) OR (a.simhash >> 8 = b.simhash >> 8)))\n"
+    "SELECT DISTINCT doc_a, doc_b, hamming FROM blocked WHERE hamming <= 2",
+)
+def q_simhash_neardup_pairs(spark, sf):
+    from .operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_neardup_pairs(docs, 16, 2)
+
+
+# ================================================================ similarity / ANN
+
+from .operators.similarity import hyperplane as _hyperplane  # noqa: E402
+
+_DIM = 64
+
+
+def _plane_sql(k: int) -> str:
+    return "[" + ", ".join(f"{w}.0" for w in _hyperplane(k, _DIM)) + "]"
+
+
+def _bucket_sql(col: str, n_planes: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, {_plane_sql(k)}) >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(n_planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "embedding_lsh_topk",
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding, qe)
+             / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))), 4) AS cosine
+FROM b, q WHERE bucket = qbucket
+ORDER BY list_dot_product(embedding, qe)
+         / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))) DESC,
+         vec_id ASC
+LIMIT 10
+""",
+)
+def q_embedding_lsh_topk(spark, sf):
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return lsh_topk(emb, 0, 10, 4, _DIM)
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b2.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b2.embedding, b2.embedding))), 4) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.embedding, b2.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b2.embedding, b2.embedding))), 4) >= 0.8
+""",
+)
+def q_embedding_neardup_pairs(spark, sf):
+    from .operators.similarity import neardup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return neardup_pairs(emb, 0.8, 4, _DIM)
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 

@@ -35,9 +35,38 @@ def builder_conf(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", _driver_mem())
+        # JVM sizing (see BENCH/BASELINE.md for the measurements):
+        # - G1HeapRegionSize=32m: Arrow batches of wide string/binary rows
+        #   are multi-MB allocations; with default G1 region sizing those go
+        #   down the humongous-object path, whose allocation lock serializes
+        #   executor threads (measured: 26s -> 2s for an identity
+        #   mapInPandas over 4M wide rows at local[32]).
+        # - -Xms == -Xmx: pre-size the heap so early jobs don't pay
+        #   repeated grow-the-heap GC cycles (a 2-3x slow first minute).
+        # - MetaspaceSize: codegen classloading otherwise trips repeated
+        #   "Metadata GC Threshold" concurrent cycles.
+        # - SPARK_GRAFT_JAVA_OPTS: extra per-process flags, e.g.
+        #   -XX:ActiveProcessorCount=N for CPU-pinned executor JVMs (a JVM
+        #   pinned to 8 cores otherwise sizes GC/JIT/netty pools for the
+        #   whole machine and thrashes its allotment).
+        .config("spark.driver.extraJavaOptions", _java_opts())
+        .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
         .config("spark.ui.enabled", "false")
     )
+
+
+def _driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+
+def _java_opts() -> str:
+    base = (
+        f"-XX:G1HeapRegionSize=32m -Xms{_driver_mem()} "
+        "-XX:MetaspaceSize=1g -XX:InitiatingHeapOccupancyPercent=70"
+    )
+    extra = os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+    return f"{base} {extra}".strip()
 
 
 def get_spark(
