@@ -226,9 +226,8 @@ def scaling_worker(cpus: int, n_rows: int, part: str = "all") -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     docs = spark.read.parquet(*_docs_files(part))
     # warm to JIT/worker steady state: C2 keeps compiling codegen classes
-    # for the first few runs (measured 27s -> 9s -> 6s on identical input);
-    # low-thread JVMs converge after one run
-    for _ in range(3 if cpus >= 8 else 1):
+    # for the first few runs (measured 27s -> 9s -> 6s on identical input)
+    for _ in range(3 if cpus >= 8 else 2):
         _flagship_over(spark, docs)
     # best-of-3: the metric is steady-state throughput; single runs see
     # multi-second scheduler/GC jitter

@@ -48,21 +48,27 @@ def enrich_geoip(df: DataFrame, geoip: DataFrame, ip_col: str = "ip_address") ->
     return joined.drop("_ipl", "ip_lo", "ip_hi")
 
 
-def enrich_service(df: DataFrame, services: DataFrame, path_col: str = "path") -> DataFrame:
+def enrich_service(
+    df: DataFrame,
+    services: DataFrame,
+    path_col: str = "path",
+    key_col: str = "url",
+) -> DataFrame:
     """Longest-prefix-match of ``path`` against a broadcast service dim →
     adds ``service``/``tier``.
 
     Broadcast theta-join on ``startswith`` then keep the longest matching
     prefix per row via a max_by aggregation on a unique row key — no
     window shuffle (the groupBy keys are the fact rows themselves, and AQE
-    coalesces).  ``df`` must have a unique ``url`` column (natural key of
-    the docs table); rows with no match keep null service.
+    coalesces).  ``key_col`` must uniquely identify rows (url for the docs
+    table, event_id for the oracle corpus); rows with no match keep null
+    service.
     """
-    cand = df.select("url", F.col(path_col).alias("_p")).join(
+    cand = df.select(key_col, F.col(path_col).alias("_p")).join(
         F.broadcast(services), F.col("_p").startswith(F.col("path_prefix")), "inner"
     )
-    best = cand.groupBy("url").agg(
+    best = cand.groupBy(key_col).agg(
         F.expr("max_by(service, length(path_prefix))").alias("service"),
         F.expr("max_by(tier, length(path_prefix))").alias("tier"),
     )
-    return df.join(best, "url", "left")
+    return df.join(best, key_col, "left")

@@ -1084,6 +1084,79 @@ def q_embedding_neardup_pairs(spark, sf):
     return neardup_pairs(emb, 0.8, 4, _DIM)
 
 
+# ================================================================ service enrich / multimodal
+
+
+@register(
+    "service_route_counts",
+    L
+    + """
+SELECT CASE WHEN path LIKE '/api/p%' THEN 'payments'
+            WHEN path LIKE '/api/s%' THEN 'auth'
+            WHEN path LIKE '/api%' THEN 'api'
+            ELSE 'web' END AS service,
+       count(*) AS requests
+FROM logs GROUP BY 1
+""",
+)
+def q_service_route_counts(spark, sf):
+    """Longest-prefix service enrichment (SURVEY.md §2.5): nested prefixes
+    ('/api/p' beats '/api' beats '/') must resolve to the most specific."""
+    from .operators.enrich import enrich_service
+
+    dim = spark.createDataFrame(
+        [("/api/p", "payments", "backend"), ("/api/s", "auth", "backend"),
+         ("/api", "api", "backend"), ("/", "web", "frontend")],
+        "path_prefix string, service string, tier string",
+    )
+    p = _parsed(spark, sf)
+    return (
+        enrich_service(p, dim, key_col="event_id")
+        .groupBy("service")
+        .agg(F.count(F.lit(1)).alias("requests"))
+    )
+
+
+@register(
+    "media_decode_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def q_media_decode_meta(spark, sf):
+    """Multimodal plumbing: binary payload -> Arrow-batched decode stage
+    (stubbed codec, real schema/batching — operators/multimodal.py)."""
+    from .operators.multimodal import decode_media, media_from_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return decode_media(media_from_docs(docs)).select("media_id", "kind", "n_bytes")
+
+
+@register(
+    "salted_path_counts",
+    L + "SELECT path, count(*) AS requests FROM logs GROUP BY 1",
+)
+def q_salted_path_counts(spark, sf):
+    """Two-phase salted aggregation (skew defuse, SURVEY.md §4) — must be
+    bit-identical to the plain groupBy count, which is the oracle."""
+    from .operators.skew import salted_counts
+
+    return salted_counts(_parsed(spark, sf), "path", buckets=16)
+
+
+# rows-only check (no SQL oracle): feature vectors come from a stubbed
+# model; the driver records the weaker rows/schema check for these.
+@register("media_features", None)
+def q_media_features(spark, sf):
+    from .operators.multimodal import extract_features, media_from_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return extract_features(media_from_docs(docs))
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 

@@ -1,0 +1,141 @@
+"""Structured Streaming mode (SURVEY.md §2.9).
+
+The reference is batch-only; its incremental sync/parse is file
+micro-batching and ``--last-hours`` is a processing-time window.  The
+streaming analogs here:
+
+- ``stream_parse``: ``readStream.text`` over a landing directory (new
+  files become micro-batches — the sync/parse loop without the cron), the
+  same pandas-UDF grok parser (mapInPandas works unchanged on streaming
+  DataFrames).
+- ``hourly_rollup``: tumbling event-time window on the parsed timestamp
+  with a watermark for late lines (G2 as a streaming aggregate).
+- ``ip_request_rate_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-IP running request count + first/last
+  seen, the streaming analog of G35.
+- ``run_available_now``: catch-up execution (Trigger.AvailableNow) with a
+  checkpoint dir — processes the backlog exactly once and stops, which is
+  also how the batch kill-resume story extends to streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.parse import parse_logs
+
+
+def stream_parse(
+    spark: SparkSession,
+    input_dir: str,
+    pattern: str = "*.log",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Streaming grok parse over a landing directory of log files."""
+    lines = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", pattern)
+        .load(input_dir)
+        .withColumnRenamed("value", "text")
+    )
+    return parse_logs(lines, "text", columns=columns)
+
+
+def hourly_rollup(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour event-time rollup with late-data watermark (G2)."""
+    return (
+        parsed.filter(F.col("timestamp").isNotNull())
+        .withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", "1 hour").alias("w"), "status_code")
+        .agg(F.count(F.lit(1)).alias("requests"))
+        .select(
+            F.col("w.start").alias("hour"),
+            "status_code",
+            "requests",
+        )
+    )
+
+
+_IP_STATE_SCHEMA = StructType(
+    [
+        StructField("count", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+_IP_OUT_SCHEMA = StructType(
+    [
+        StructField("ip_address", StringType()),
+        StructField("total_requests", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _ip_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-IP request count + observed time span (stateful G35)."""
+    count, first_ts, last_ts = (state.get if state.exists else (0, None, None))
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["timestamp"])
+        count += len(pdf)
+        lo, hi = ts.min(), ts.max()
+        first_ts = lo if first_ts is None else min(first_ts, lo)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((count, first_ts, last_ts))
+    yield pd.DataFrame(
+        [{"ip_address": key[0], "total_requests": count,
+          "first_ts": first_ts, "last_ts": last_ts}]
+    )
+
+
+def ip_request_rate_stream(parsed: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-IP running totals across micro-batches."""
+    return (
+        parsed.filter(F.col("ip_address").isNotNull())
+        .groupBy("ip_address")
+        .applyInPandasWithState(
+            _ip_state_fn,
+            outputStructType=_IP_OUT_SCHEMA,
+            stateStructType=_IP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    queryName: str = "rollup",
+    outputMode: str = "update",
+) -> Any:
+    """Drain the backlog into an in-memory table and stop (exactly-once
+    per checkpoint).  Returns the finished StreamingQuery."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
