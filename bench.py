@@ -94,7 +94,10 @@ def main() -> None:
     n_rows = oc.events_df(spark, SF_DIR).count()
 
     def flagship():
-        parsed = oc.parsed_events(spark, SF_DIR)
+        parsed = oc.parsed_events(
+            spark, SF_DIR,
+            columns=["timestamp", "ip_address", "status_code", "response_size"],
+        )
         enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
         routed = enriched.withColumn("route", status_class(F.col("status_code")))
         (

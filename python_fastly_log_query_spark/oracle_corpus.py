@@ -78,9 +78,17 @@ def log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(F.col("event_id"), line.alias("text"))
 
 
-def parsed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The oracle corpus, parsed by the real pipeline parser."""
-    return parse_logs(log_lines(spark, sf_dir), line_col="text", passthrough=["event_id"])
+def parsed_events(
+    spark: SparkSession, sf_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """The oracle corpus, parsed by the real pipeline parser.
+
+    ``columns`` prunes the parsed output (manual projection through the
+    UDF boundary — see operators/parse.py)."""
+    return parse_logs(
+        log_lines(spark, sf_dir), line_col="text", passthrough=["event_id"],
+        columns=columns,
+    )
 
 
 def _case_ua() -> str:

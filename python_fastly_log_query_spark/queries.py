@@ -1136,6 +1136,41 @@ def q_media_decode_meta(spark, sf):
 
 
 @register(
+    "distinct_ips_per_path",
+    L
+    + """
+SELECT path, CAST(count(DISTINCT ip_address) AS BIGINT) AS distinct_ips
+FROM logs GROUP BY 1 ORDER BY distinct_ips DESC, path ASC LIMIT 10
+""",
+)
+def q_distinct_ips_per_path(spark, sf):
+    """Exact distinct-count ranking — the correctness twin of the
+    sketch-based variant below."""
+    p = _parsed(spark, sf)
+    return (
+        p.groupBy("path")
+        .agg(F.count_distinct("ip_address").alias("distinct_ips"))
+        .orderBy(F.desc("distinct_ips"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# rows-only check: HLL sketches differ between engines, so the approx
+# variant has no value-hash oracle — the exact twin above carries the
+# correctness check; this one is the 10^12-scale ranking path
+# ("top-N via approximate ranking", SURVEY.md §2.8).
+@register("approx_distinct_ips_per_path", None)
+def q_approx_distinct_ips_per_path(spark, sf):
+    p = _parsed(spark, sf)
+    return (
+        p.groupBy("path")
+        .agg(F.approx_count_distinct("ip_address", rsd=0.01).alias("distinct_ips"))
+        .orderBy(F.desc("distinct_ips"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@register(
     "salted_path_counts",
     L + "SELECT path, count(*) AS requests FROM logs GROUP BY 1",
 )
