@@ -1,0 +1,42 @@
+"""Catalog shim: append-only snapshots, as-of reads, atomic manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_fastly_log_query_spark.catalog import ParquetCatalog, get_catalog
+
+
+def test_get_catalog_falls_back_to_parquet(spark, tmp_path):
+    cat = get_catalog(spark, str(tmp_path))
+    assert isinstance(cat, ParquetCatalog)  # no Iceberg jars in sandbox
+
+
+def test_append_snapshots_and_as_of(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    s1 = cat.append("t", spark.range(0, 10).withColumn("v", F.lit("a")))
+    s2 = cat.append("t", spark.range(10, 15).withColumn("v", F.lit("b")))
+    assert [s.rows for s in cat.snapshots("t")] == [10, 5]
+    assert cat.read("t").count() == 15
+    assert cat.row_count("t") == 15
+    # time travel: as of the first snapshot
+    assert cat.read("t", as_of=s1.snapshot_id).count() == 10
+    # overwrite collapses to one live snapshot
+    cat.overwrite("t", spark.range(0, 3))
+    assert cat.read("t").count() == 3
+    assert len(cat.snapshots("t")) == 1
+    cat.drop("t")
+    assert not cat.exists("t")
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
+    """Kill between data write and manifest commit must leave the table
+    unchanged — simulate by writing a snapshot dir with no manifest entry."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.append("t", spark.range(0, 10))
+    spark.range(99).write.parquet(os.path.join(str(tmp_path), "t", "data", "snap=dead"))
+    assert cat.read("t").count() == 10  # orphan dir not visible
+    assert cat.row_count("t") == 10
