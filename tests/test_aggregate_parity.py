@@ -1,0 +1,141 @@
+"""Aggregate parity vs the REFERENCE's own analyze functions (SURVEY.md
+§5.2): run reference ``analyze_*`` (pure pandas, imported from
+/root/reference) and our Spark report branches on the SAME fixture lines;
+counts must match exactly, float rates/percentiles to a tolerance.
+
+Fixture design keeps distinct-key counts below every top-N cut so pandas'
+nondeterministic tie order never affects the compared maps (§2.6).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import os
+
+import pytest
+
+from python_fastly_log_query_spark.operators import report as R
+from python_fastly_log_query_spark.operators.parse import parse_logs
+
+PATHS = [
+    "/api/search", "/api/items", "/checkout", "/static/app.js", "/index.html",
+]
+UAS = [
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0 Safari/537.36",
+    "python-requests/2.31.0",
+    "curl/8.4.0",
+]
+CACHES = ["hit", "hit", "miss", "pass"]
+STATUS = [200, 200, 200, 301, 404, 500]
+
+
+def fixture_lines(n: int = 240) -> list[str]:
+    lines = []
+    for i in range(n):
+        ts = f"2025-11-0{1 + i % 2}T{i % 24:02d}:{(i * 7) % 60:02d}:{(i * 13) % 60:02d}Z"
+        path = PATHS[i % len(PATHS)]
+        q = ["", f"?page={i % 7}", f"?page={i % 7}&sort=asc", "?a=1&a=2&bare"][i % 4]
+        line = (
+            f"<13{i % 8}>{ts} cache-{'sjc' if i % 2 else 'lhr'} s3logsprod[{1000 + i}]: "
+            f"10.0.{i % 4}.{i % 250} \"-\" \"-\" - \"GET {path}{q}\" {STATUS[i % 6]} "
+            f"{100 + (i * 37) % 9000} \"-\" \"{UAS[i % 4]}\" {CACHES[i % 4]}"
+        )
+        lines.append(line)
+    # a few malformed lines exercise the analytics' null tolerance
+    lines += ["corrupt 10.9.9.9 ###", "<190>not a real line"]
+    return lines
+
+
+@pytest.fixture(scope="module")
+def ref_analytics():
+    path = "/root/reference/src/analyze/analytics.py"
+    if not os.path.exists(path):
+        pytest.skip("reference repo not available")
+    spec = importlib.util.spec_from_file_location("ref_analytics", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_entries(ref_parser):
+    return [r for r in (ref_parser.parse_log_line(l) for l in fixture_lines()) if r]
+
+
+@pytest.fixture(scope="module")
+def ours(spark):
+    lines = spark.createDataFrame([(l,) for l in fixture_lines()], "text string")
+    return parse_logs(lines, "text").cache()
+
+
+def _close(a: float, b: float, tol: float = 1e-6):
+    assert math.isclose(float(a), float(b), rel_tol=tol, abs_tol=tol), (a, b)
+
+
+def _topn_equal(got: dict, want: dict):
+    """§2.6 top-N contract: pandas tie order at the cut is nondeterministic,
+    so equality means (a) identical count multisets and (b) identical counts
+    for every key both sides kept."""
+    assert sorted(got.values(), reverse=True) == sorted(want.values(), reverse=True)
+    for k in set(got) & set(want):
+        assert got[k] == want[k], k
+
+
+def test_traffic_parity(ref_analytics, ref_entries, ours):
+    want = ref_analytics.analyze_traffic_patterns(ref_entries)
+    got = R.traffic(ours)
+    assert got["total_requests"] == want["total_requests"]
+    assert got["requests_per_hour"] == {str(k): int(v) for k, v in want["requests_per_hour"].items()}
+    assert got["requests_per_day"] == want["requests_per_day"]
+    assert got["popular_endpoints"] == want["popular_endpoints"]
+    assert got["http_methods"] == want["http_methods"]
+
+
+def test_errors_parity(ref_analytics, ref_entries, ours):
+    want = ref_analytics.analyze_errors(ref_entries)
+    got = R.errors(ours)
+    # reference: NaN statuses from malformed rows upcast the column to
+    # float, so its keys render as '200.0'; normalize both to int
+    assert {int(k): v for k, v in got["status_code_distribution"].items()} == {
+        int(float(k)): v for k, v in want["status_code_distribution"].items()
+    }
+    for k in ("total_requests", "error_4xx_count", "error_5xx_count"):
+        assert got[k] == want[k], k
+    for k in ("error_4xx_rate", "error_5xx_rate", "total_error_rate"):
+        _close(got[k], want[k])
+    assert got["error_endpoints"] == want["error_endpoints"]
+
+
+def test_performance_parity(ref_analytics, ref_entries, ours):
+    want = ref_analytics.analyze_performance(ref_entries)
+    got = R.performance(ours)
+    assert got["cache_statistics"] == want["cache_statistics"]
+    _close(got["cache_hit_rate"], want["cache_hit_rate"])
+    _close(got["cache_miss_rate"], want["cache_miss_rate"])
+    w, g = want["response_size_statistics"], got["response_size_statistics"]
+    _close(g["mean_size"], w["mean"])
+    _close(g["median_size"], w["median"])  # exact percentile = pandas interpolation
+    assert g["min_size"] == w["min"] and g["max_size"] == w["max"]
+    _close(g["p95_size"], w["p95"])
+    _close(g["p99_size"], w["p99"])
+    ours_by_path = {r["path"]: r for r in got["top_endpoints_by_size"]}
+    for path, spec in want["top_endpoints_by_size"].items():
+        _close(ours_by_path[path]["mean_size"], spec["mean_size"], tol=1e-4)
+        assert ours_by_path[path]["request_count"] == spec["request_count"]
+
+
+def test_user_agents_parity(ref_analytics, ref_entries, ours):
+    want = ref_analytics.analyze_user_agents(ref_entries)
+    got = R.user_agents(ours)
+    assert got["top_user_agents"] == want["top_user_agents"]
+    assert got["agent_type_distribution"] == want["agent_type_distribution"]
+
+
+def test_query_patterns_parity(ref_analytics, ref_entries, ours):
+    want = ref_analytics.analyze_query_patterns(ref_entries)
+    got = R.query_patterns(ours)
+    assert got["most_common_parameters"] == want["most_common_parameters"]
+    assert got["parameter_value_distributions"] == want["parameter_value_distributions"]
+    _topn_equal(got["top_query_signatures"], want["top_query_signatures"])
