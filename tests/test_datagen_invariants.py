@@ -1,0 +1,39 @@
+"""Datagen determinism + the north-rule per-row invariant
+(BASELINE.json input_hint: "byte-identical extracted text per url")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_fastly_log_query_spark.datagen import generate_docs
+from python_fastly_log_query_spark.operators.parse import parse_logs
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_generate_docs_partition_invariant(spark):
+    """Every field is a pure function of the row id (no RNG state), so the
+    table is identical at any partition count."""
+    a = generate_docs(spark, 2000, partitions=2)
+    b = generate_docs(spark, 2000, partitions=16)
+    assert _rows(a.select("url", "text", "lang", "host")) == _rows(
+        b.select("url", "text", "lang", "host")
+    )
+
+
+def test_byte_identical_extracted_text_per_url(spark):
+    """The parse stage must carry each row's text through unmodified:
+    for every url, the parser's raw_line equals the input text
+    byte-for-byte (malformed lines included — raw_line always survives,
+    reference src/parse/log_parser.py:69)."""
+    docs = generate_docs(spark, 3000, malformed_pct=10, partitions=8)
+    parsed = parse_logs(docs, "text", passthrough=["url"],
+                        columns=["raw_line", "status_code"])
+    joined = parsed.join(docs.select("url", "text"), "url")
+    mismatches = joined.filter(F.col("raw_line") != F.trim(F.col("text"))).count()
+    assert mismatches == 0
+    assert parsed.count() == 3000
+    # html column is the utf-8 encoding of text (input-table contract)
+    assert docs.filter(F.decode("html", "UTF-8") != F.col("text")).count() == 0
