@@ -28,7 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
     status-class route → hourly rollup, on sf0.001."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    parsed = parsed_events(spark, "/root/testdata/sf0.001")
+    # column pruning through the parse UDF: the rollup consumes only these
+    parsed = parsed_events(
+        spark, "/root/testdata/sf0.001",
+        columns=["timestamp", "ip_address", "status_code", "response_size"],
+    )
     enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
     routed = enriched.withColumn("route", status_class(F.col("status_code")))
     return (
