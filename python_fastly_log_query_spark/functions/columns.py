@@ -10,29 +10,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def agent_type_lowered(ua: Column, lo: Column) -> Column:
+    """Classifier body over a pre-lowered UA column: callers should
+    project ``lower(user_agent)`` once (a separate select) so the
+    when-chain's ~13 references hit one materialized value inside
+    whole-stage codegen instead of lowercasing per rule."""
+    return (
+        F.when(ua.isNull() | (ua == ""), "Unknown")
+        .when(lo.contains("mozilla") & lo.contains("firefox"), "Firefox")
+        .when(lo.contains("chrome") & lo.contains("safari"), "Chrome")
+        .when(lo.contains("safari") & ~lo.contains("chrome"), "Safari")
+        .when(lo.contains("python-requests"), "Python/requests")
+        .when(lo.contains("curl"), "curl")
+        .when(lo.contains("datadog"), "Datadog")
+        .otherwise("Other")
+    )
+
+
 def agent_type(ua: Column) -> Column:
     """UA → agent-type classifier, reference ``extract_agent_type``
     (reference src/analyze/analytics.py:200-222): ordered contains-rules on
     the lowercased UA; null/empty → 'Unknown'.
 
-    ``lower(ua)`` appears once per rule in the when-chain; without CSE
-    that's ~13 lowercase passes per row, so the expression is wrapped in
-    a lambda HOF that binds the lowered string a single time."""
-
-    def classify(lo: Column) -> Column:
-        return (
-            F.when(ua.isNull() | (ua == ""), "Unknown")
-            .when(lo.contains("mozilla") & lo.contains("firefox"), "Firefox")
-            .when(lo.contains("chrome") & lo.contains("safari"), "Chrome")
-            .when(lo.contains("safari") & ~lo.contains("chrome"), "Safari")
-            .when(lo.contains("python-requests"), "Python/requests")
-            .when(lo.contains("curl"), "curl")
-            .when(lo.contains("datadog"), "Datadog")
-            .otherwise("Other")
-        )
-
-    # bind lower(ua) once via a single-element array transform
-    return F.element_at(F.transform(F.array(F.lower(ua)), classify), 1)
+    Single-expression form (lowercases per rule); hot paths should use
+    ``agent_type_lowered`` over a projected ``lower(ua)`` column."""
+    return agent_type_lowered(ua, F.lower(ua))
 
 
 def query_signature(path: Column, query_params: Column) -> Column:

@@ -180,9 +180,19 @@ def top_user_agents(df: DataFrame, n: int = 20) -> DataFrame:
 
 
 def agent_type_distribution(df: DataFrame) -> DataFrame:
-    """G13 (ref A:222-223): classifier over ALL rows (null UA → Unknown)."""
+    """G13 (ref A:222-223): classifier over ALL rows (null UA → Unknown).
+
+    Two-step projection materializes ``lower(ua)`` once per row so the
+    13-reference when-chain stays cheap inside codegen."""
+    from ..functions.columns import agent_type_lowered
+
+    lowered = df.select(
+        F.col("user_agent").alias("_ua"), F.lower("user_agent").alias("_lo")
+    )
     return (
-        df.select(agent_type(F.col("user_agent")).alias("agent_type"))
+        lowered.select(
+            agent_type_lowered(F.col("_ua"), F.col("_lo")).alias("agent_type")
+        )
         .groupBy("agent_type")
         .agg(F.count(F.lit(1)).alias("requests"))
     )
