@@ -38,4 +38,8 @@ def filter_last_hours(
     if now.tzinfo is not None:
         now = now.astimezone(timezone.utc).replace(tzinfo=None)
     cutoff = now - timedelta(hours=last_hours)
-    return df.filter(F.col(ts_col).isNotNull() & (F.col(ts_col) >= F.lit(cutoff)))
+    # pass the cutoff as a string parsed in SESSION time: F.lit(datetime)
+    # would convert via the Python process's OS timezone, silently shifting
+    # the window when the driver host isn't UTC
+    cutoff_lit = F.to_timestamp(F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")))
+    return df.filter(F.col(ts_col).isNotNull() & (F.col(ts_col) >= cutoff_lit))

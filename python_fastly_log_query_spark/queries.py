@@ -1192,8 +1192,22 @@ def q_media_features(spark, sf):
     return extract_features(media_from_docs(docs))
 
 
+def _with_session_confs(fn: SparkQuery) -> SparkQuery:
+    """The driver runs queries on its own SparkSession; pin the
+    semantics-critical runtime confs per call (UTC timestamps, last-win
+    map keys) so results don't depend on the harness session setup."""
+
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        return fn(spark, sf)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, SparkQuery]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _with_session_confs(fn) for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
