@@ -147,6 +147,16 @@ def cmd_query(args) -> int:
     )
     parsed = ck.read_output(spark, parse_out).cache()
     enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
+    if args.route_by == "service":
+        # ADVICE r1: the enriched log frame has no service column — add it
+        # via the longest-prefix broadcast join before routing
+        from .operators.enrich import default_service_dim, enrich_service
+
+        enriched = enrich_service(
+            enriched.withColumn("_rk", F.monotonically_increasing_id()),
+            default_service_dim(spark),
+            key_col="_rk",
+        ).drop("_rk")
     routed_dir = os.path.join(work, "routed")
     write_routed(enriched, routed_dir, args.route_by)
     counts = {r["route"]: r["rows"] for r in routed_counts(enriched, args.route_by).collect()}
@@ -228,7 +238,9 @@ def build_parser() -> argparse.ArgumentParser:
     pq = sub.add_parser("query", help="end-to-end parse -> enrich -> route -> report")
     pq.add_argument("--log-dir", required=True)
     pq.add_argument("--workdir", required=True)
-    pq.add_argument("--route-by", choices=["status_class", "lang", "service"],
+    # "lang" routing applies to the documents pipeline (route_column('lang'),
+    # routed_lang_counts) — parsed HTTP logs carry no language column
+    pq.add_argument("--route-by", choices=["status_class", "service"],
                     default="status_class")
 
     pc = sub.add_parser("clear", help="delete pipeline outputs under workdir")

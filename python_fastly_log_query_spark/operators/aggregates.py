@@ -584,11 +584,83 @@ def user_agent_response_sizes(df: DataFrame, n: int = 10) -> DataFrame:
 # ---------------------------------------------------------------- drill-down (G37) & daily (G38)
 
 
+def endpoint_parameter_values(
+    df: DataFrame,
+    endpoint: str,
+    n_params: int = 5,
+    n_values: int = 5,
+    order_col: str | None = None,
+) -> DataFrame:
+    """G37 completion (ref A:735-757): per-endpoint top-``n_values`` values
+    for the first-``n_params`` params.
+
+    The reference iterates entries in file order and relies on dict /
+    Counter INSERTION order — first-5 params = first ever seen, and count
+    ties among values resolve to the earliest-seen value.  A distributed
+    engine has no ambient row order, so first-seen rank is computed
+    explicitly: ``min(order_col * 4096 + param_position_in_query_string)``
+    (``order_col`` is a lineage column — event_id / line_number; map
+    insertion order survives the Arrow boundary, verified by the golden
+    parity test).  With no order column, params/value-ties fall back to
+    count-desc / name-asc ranking — deterministic, but a documented
+    deviation from the reference's order-dependent slice.
+    """
+    from pyspark.sql.window import Window
+
+    d = df.filter(F.col("path") == F.lit(endpoint)).filter(
+        F.col("query_params").isNotNull()
+    )
+    if order_col is not None:
+        pairs = d.select(
+            F.col(order_col).alias("_ord"),
+            F.posexplode("query_params").alias("pos", "param", "value"),
+        ).select(
+            "param",
+            "value",
+            (F.col("_ord") * 4096 + F.least(F.col("pos"), F.lit(4095))).alias("seen"),
+        )
+        pv = pairs.groupBy("param", "value").agg(
+            F.count(F.lit(1)).alias("occurrences"), F.min("seen").alias("first_seen")
+        )
+        top_params = (
+            pv.groupBy("param")
+            .agg(F.min("first_seen").alias("param_seen"))
+            .orderBy("param_seen")
+            .limit(n_params)
+            .select("param")
+        )
+        w = Window.partitionBy("param").orderBy(
+            F.desc("occurrences"), F.asc("first_seen")
+        )
+    else:
+        pairs = d.select(F.explode("query_params").alias("param", "value"))
+        pv = pairs.groupBy("param", "value").agg(
+            F.count(F.lit(1)).alias("occurrences")
+        )
+        top_params = (
+            pv.groupBy("param")
+            .agg(F.sum("occurrences").alias("n"))
+            .orderBy(F.desc("n"), F.asc("param"))
+            .limit(n_params)
+            .select("param")
+        )
+        w = Window.partitionBy("param").orderBy(F.desc("occurrences"), F.asc("value"))
+    return (
+        pv.join(F.broadcast(top_params), "param")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_values)
+        .select("param", "value", "occurrences")
+    )
+
+
 def analyze_endpoint(df: DataFrame, endpoint: str, exact: bool = True) -> dict[str, DataFrame]:
     """G37 (ref A:642-759): parameterized re-run of the shared aggregates
     over a filtered DF — with Catalyst, the equality predicate pushes down
     to the scan."""
     d = df.filter(F.col("path") == F.lit(endpoint))
+    order_col = next(
+        (c for c in ("event_id", "line_number") if c in df.columns), None
+    )
     return {
         "requests_by_hour": requests_by_hour_of_day(d),
         "peak_hours": requests_by_hour_of_day(d)
@@ -599,6 +671,9 @@ def analyze_endpoint(df: DataFrame, endpoint: str, exact: bool = True) -> dict[s
         "response_size_stats": response_size_stats(d, exact),
         "cache_analysis": cache_hit_miss_rates(d),
         "most_common_params": most_common_parameters(d, 10),
+        "parameter_values": endpoint_parameter_values(
+            df, endpoint, order_col=order_col
+        ),
     }
 
 

@@ -127,13 +127,14 @@ def simhash(text: F.Column, bits: int = 16) -> F.Column:
             1,
         ).otherwise(-1)
 
-    # majority vote per bit via aggregate over tokens
+    # majority vote per bit via aggregate over tokens; shiftleft (not
+    # bit * 2^j literals) so bit 63 packs into the sign bit at bits=64
     acc = None
     for j in range(bits):
         vote = F.aggregate(toks, F.lit(0), _vote_merge(j))
         bit = F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = bit * F.lit(1 << j).cast("long")
-        acc = term if acc is None else acc + term
+        term = F.shiftleft(bit, j)
+        acc = term if acc is None else acc.bitwiseOR(term)
     return acc
 
 
@@ -141,34 +142,66 @@ def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
 
 
+def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Contiguous (shift, width) block layout covering all ``bits``; the
+    first ``bits % n_blocks`` blocks are one bit wider."""
+    base, rem = divmod(bits, n_blocks)
+    out, shift = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_neardup_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2) -> DataFrame:
     """Pairs of docs whose SimHashes differ in <= max_hamming bits.
 
-    Self-join blocked on half-signatures (pigeonhole: <=2 differing bits
-    means at least one half matches exactly) — same shuffle-once shape as
-    LSH banding; never the full cross product.
+    Pigeonhole blocking: split the signature into ``max_hamming + 1``
+    contiguous blocks — a pair within the hamming budget must agree
+    EXACTLY on at least one block (k differing bits cannot touch all
+    k+1 blocks).  Each doc explodes to one ``(block, key)`` row per
+    block and the self-join is a pure equi-join on both columns, so
+    Catalyst plans a hash/sort-merge join (never a nested loop; the
+    round-1 half-signature OR-join planned a BroadcastNestedLoopJoin
+    AND silently dropped pairs whose differing bits spanned both
+    halves).  Exact hamming filter after the join keeps precision.
+
+    Scale note: at 10^12 docs use ``bits=64`` — 3 blocks of ~21 bits
+    give ~2M join buckets per block; 16-bit signatures are the
+    oracle-checkable small-scale twin (DuckDB recomputes them
+    bit-identically in queries.py).
     """
-    half = bits // 2
-    lo_mask, hi_shift = (1 << half) - 1, half
-    s = simhash_docs(docs, bits).select(
+    n_blocks = max_hamming + 1
+    blocks = simhash_blocks(bits, n_blocks)
+    s = simhash_docs(docs, bits)
+    keyed = s.select(
         "doc_id",
-        F.col("simhash"),
-        (F.col("simhash").bitwiseAND(F.lit(lo_mask))).alias("lo"),
-        (F.shiftright("simhash", hi_shift)).alias("hi"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", shift).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for (shift, w) in blocks
+                ]
+            )
+        ).alias("block", "key"),
     )
-    a, b = s.alias("a"), s.alias("b")
-    blocked = a.join(
-        b,
-        ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
     return (
-        blocked.select(
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -232,3 +265,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return docs.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies")
     )
+
+
+def neardup_pipeline(
+    docs: DataFrame, threshold: float = 0.5, num_hashes: int = 16, bands: int = 4
+) -> dict[str, DataFrame]:
+    """The canonical near-dup pipeline with the giant-cluster guard:
+    exact dedup FIRST, then MinHash-LSH + exact-Jaccard verify over the
+    unique-text representatives only.
+
+    Why the order matters at 10^12 docs: Common-Crawl-style corpora have
+    million-way byte-identical clusters; k copies land in the same band
+    bucket and the LSH self-join emits k^2/2 candidate pairs PER BUCKET.
+    Collapsing each distinct text to one representative (min doc_id)
+    makes every exact cluster a single LSH node, so candidate counts
+    grow with the number of DISTINCT texts, not with copy counts —
+    membership is recovered from ``groups`` afterwards.
+
+    Returns {"groups": (fp, keep_id, copies), "pairs": verified near-dup
+    pairs between representatives}.
+    """
+    groups = exact_dedup(docs)
+    reps = docs.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    return {"groups": groups, "pairs": lsh_verified_pairs(reps, threshold, num_hashes, bands)}

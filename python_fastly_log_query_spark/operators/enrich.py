@@ -48,6 +48,20 @@ def enrich_geoip(df: DataFrame, geoip: DataFrame, ip_col: str = "ip_address") ->
     return joined.drop("_ipl", "ip_lo", "ip_hi")
 
 
+def default_service_dim(spark) -> DataFrame:
+    """Built-in service-routing dim over the reference's ``/api/<type>``
+    path space — nested prefixes exercise longest-prefix resolution."""
+    return spark.createDataFrame(
+        [
+            ("/api/p", "payments", "backend"),
+            ("/api/s", "auth", "backend"),
+            ("/api", "api", "backend"),
+            ("/", "web", "frontend"),
+        ],
+        "path_prefix string, service string, tier string",
+    )
+
+
 def enrich_service(
     df: DataFrame,
     services: DataFrame,

@@ -150,8 +150,14 @@ def full_report(df: DataFrame) -> dict:
 
 
 def endpoint_report(df: DataFrame, endpoint: str) -> dict:
-    """analyze_endpoint drill-down (reference src/analyze/analytics.py:642-759)."""
+    """analyze_endpoint drill-down (reference src/analyze/analytics.py:642-759),
+    incl. query_parameters.parameter_values (ref :746-757): top-5 values for
+    the first-5 params, first-seen ordered when lineage columns exist."""
     parts = A.analyze_endpoint(df, endpoint)
+    pv: dict[str, dict[str, int]] = {}
+    for r in parts["parameter_values"].collect():
+        pv.setdefault(r["param"], {})[str(r["value"])] = _py(r["occurrences"])
+    most_common = _kv(parts["most_common_params"], "param", "occurrences")
     return {
         "endpoint": endpoint,
         "requests_by_hour": _kv(parts["requests_by_hour"], "hour_of_day", "requests"),
@@ -160,7 +166,11 @@ def endpoint_report(df: DataFrame, endpoint: str) -> dict:
         "error_analysis": _row(parts["error_analysis"]),
         "response_size_stats": _row(parts["response_size_stats"]),
         "cache_analysis": _row(parts["cache_analysis"]),
-        "most_common_params": _kv(parts["most_common_params"], "param", "occurrences"),
+        "most_common_params": most_common,
+        "query_parameters": {
+            "most_common": most_common,
+            "parameter_values": pv,
+        },
     }
 
 

@@ -106,10 +106,12 @@ def neardup_pairs(
     emb: DataFrame, threshold: float = 0.9, n_planes: int = 4, dim: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above ``threshold``.
-
-    Blocked on LSH buckets (few planes -> high recall) so the self-join
-    shuffles once on the bucket key instead of crossing the full table.
+    """Embedding-cosine near-dup pairs above ``threshold`` — the
+    SMALL-SCALE oracle twin: with only ``n_planes`` planes the bucket
+    count is fixed at 2^n_planes, so the within-bucket self-join is
+    still ~N^2/2^n_planes pairs.  Fine at oracle scale; at 10^12 rows
+    use :func:`banded_neardup_pairs`, whose bucket count grows with the
+    band width instead of staying constant.
     """
     b = lsh_buckets(emb, n_planes, dim).select(id_col, "embedding", "bucket")
     a2, b2 = b.alias("a"), b.alias("b")
@@ -126,4 +128,60 @@ def neardup_pairs(
             F.round(c, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def banded_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    planes_per_band: int = 6,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs — the 10^12-scale path.
+
+    Band b uses planes [b*r, (b+1)*r); a pair is a candidate iff ALL r
+    plane signs agree in at least one band (the MinHash-banding shape,
+    dedup.py lsh_candidate_pairs).  Each row explodes to one
+    ``(band, key)`` row per band, the self-join is a pure equi-join on
+    both columns (hash join — never a nested loop), and exact cosine is
+    computed on candidates only.
+
+    Recall/occupancy math: a plane agrees with prob p = 1 - theta/pi;
+    per-band match p^r, overall 1 - (1-p^r)^b — raise ``bands`` for
+    recall, ``planes_per_band`` for precision.  Buckets per band = 2^r,
+    chosen by r ~ log2(N / target_bucket_size), so candidate volume per
+    band stays ~N * bucket_size rather than N^2 / 2^n_planes as in the
+    fixed-bucket :func:`neardup_pairs`.
+    """
+    planes = [hyperplane(k, dim) for k in range(planes_per_band * bands)]
+    band_keys = F.array(
+        *[
+            lsh_bucket(
+                F.col("embedding"),
+                planes[b * planes_per_band : (b + 1) * planes_per_band],
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = emb.select(
+        F.col(id_col), F.col("embedding"), F.posexplode(band_keys).alias("band", "key")
+    )
+    a, b2 = keyed.alias("a"), keyed.alias("b")
+    c = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(c, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -80,3 +80,96 @@ def test_salted_counts_equal_plain_counts(spark):
     # and the salted plan has the two-phase shape: two exchanges
     plan = _plan(salted_counts(df, "event_type", buckets=8))
     assert plan.count("Exchange") >= 2
+
+
+def test_simhash_neardup_is_equi_join(spark):
+    """Round-1 regression (VERDICT): the half-signature OR-join planned a
+    BroadcastNestedLoopJoin. Pigeonhole (block, key) blocking must plan a
+    hash join at any bit width."""
+    from python_fastly_log_query_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for bits, max_h in ((16, 2), (64, 3)):
+        plan = _plan(simhash_neardup_pairs(docs, bits, max_h))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_simhash_neardup_recall_across_blocks(spark):
+    """ADVICE round 1: hamming<=2 pairs whose differing bits span both
+    halves were dropped by 2-block blocking. 3-block pigeonhole must keep
+    every pair a brute-force hamming scan finds."""
+    from python_fastly_log_query_spark.operators.dedup import simhash_docs, simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs, 16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(docs, 16, 2).collect()
+    }
+    assert got == brute
+
+
+def test_banded_embedding_neardup_is_equi_join_and_matches_bruteforce(spark):
+    """VERDICT item 3: banded hyperplane LSH must plan an equi-join and, on
+    the fixture, recover every brute-force pair above threshold (planted
+    near-dups sit at cosine ~1 where per-plane agreement is ~certain)."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        banded_neardup_pairs, cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # threshold 0.45 = the fixture's top cosine tail (max pairwise ~0.55);
+    # r=3, b=8 measured at recall 1.0 here (0.93 at sf0.01)
+    plan = _plan(banded_neardup_pairs(emb, 0.45, 3, 8))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+    a, b = emb.alias("a"), emb.alias("b")
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .filter(F.round("c", 4) >= 0.45)
+        .collect()
+    }
+    assert brute, "fixture must have pairs above threshold (non-vacuous test)"
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in banded_neardup_pairs(emb, 0.45, 3, 8).collect()
+    }
+    assert got == brute
+
+
+def test_neardup_pipeline_giant_cluster_guard(spark):
+    """VERDICT item 7: a 1k-copy exact-dup cluster must contribute ONE LSH
+    node (candidates linear in cluster size, not k^2)."""
+    from python_fastly_log_query_spark.operators.dedup import (
+        lsh_candidate_pairs, neardup_pipeline,
+    )
+
+    uniq = [(i, f"unique document number {i} with words w{i} x{i} y{i} z{i}") for i in range(20)]
+    clones = [(1000 + i, "the giant duplicated cluster body of identical words") for i in range(1000)]
+    docs = spark.createDataFrame(uniq + clones, "doc_id long, text string")
+
+    # naive LSH over raw docs: the cluster floods one bucket -> ~k^2/2 pairs
+    naive = lsh_candidate_pairs(docs).count()
+    assert naive >= 1000 * 999 / 2
+
+    out = neardup_pipeline(docs, threshold=0.5)
+    groups = out["groups"]
+    assert groups.filter(F.col("copies") == 1000).count() == 1
+    # representatives-only pairs: bounded by distinct texts, not copies
+    assert out["pairs"].count() <= 21 * 20 / 2
