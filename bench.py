@@ -62,7 +62,8 @@ AGG_QUERIES = [
     "daily_summary",
 ]
 
-# Standalone queries (own table scans, include IO).
+# Standalone queries (own table scans, include IO).  The dedup/ANN surface
+# is benched explicitly (VERDICT r1 item 8) so plan regressions show up.
 STANDALONE_QUERIES = [
     "dedup_exact",
     "doc_fingerprint",
@@ -71,6 +72,11 @@ STANDALONE_QUERIES = [
     "lang_id",
     "embedding_topk_cosine",
     "broadcast_join_mktsegment",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "simhash_neardup_pairs",
+    "embedding_lsh_topk",
+    "embedding_neardup_banded",
 ]
 
 
@@ -144,20 +150,38 @@ def main() -> None:
 
     parsed.unpersist()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "rows": n_rows,
-                "rows_per_sec_pipeline": round(n_rows / timings["pipeline"], 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "rows": n_rows,
+        "rows_per_sec_pipeline": round(n_rows / timings["pipeline"], 1),
+    }
+    deltas = _deltas_vs_prior_round(timings)
+    if deltas:
+        print(json.dumps({"metric": "vs_prior_round", **deltas}), file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _deltas_vs_prior_round(timings: dict[str, float]) -> dict | None:
+    """Per-query deltas vs the newest BENCH_r*.json (stderr side channel —
+    stdout stays the one-JSON-line driver contract)."""
+    import glob
+
+    prior = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    if not prior:
+        return None
+    with open(prior[-1]) as f:
+        old = json.load(f).get("queries", {})
+    changes = {
+        k: {"prev": old[k], "now": v, "delta_pct": round((v - old[k]) / old[k] * 100, 1)}
+        for k, v in timings.items()
+        if k in old and old[k] > 0
+    }
+    return {"baseline_file": prior[-1], "changes": changes} if changes else None
 
 
 # ---------------------------------------------------------------- scaling

@@ -110,6 +110,13 @@ class ParquetCatalog:
                 keep.append(s)
                 if s.snapshot_id == as_of:
                     break
+            # ADVICE r1: an unknown id must fail loudly, not silently
+            # return the full current table (wrong data for time travel)
+            if not keep or keep[-1].snapshot_id != as_of:
+                raise KeyError(
+                    f"table {table} has no snapshot {as_of!r} "
+                    f"(known: {[s.snapshot_id for s in snaps]})"
+                )
             snaps = keep
         if not snaps:
             raise FileNotFoundError(f"table {table} has no snapshots")
@@ -162,17 +169,40 @@ class IcebergCatalog:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog}.{table}")
 
 
-def iceberg_available(spark: SparkSession) -> bool:
+_ICEBERG_IMPLS = (
+    "org.apache.iceberg.spark.SparkCatalog",
+    "org.apache.iceberg.spark.SparkSessionCatalog",
+)
+
+
+def iceberg_catalog_name(spark: SparkSession) -> str | None:
+    """Name of a session catalog actually CONFIGURED as Iceberg.
+
+    ADVICE r1: jars on the classpath do not mean any catalog is wired to
+    Iceberg — ``writeTo(...).append()`` would still fail.  Trust only
+    ``spark.sql.catalog.<name>`` conf entries pointing at an Iceberg
+    implementation, preferring ``spark_catalog``.
+    """
     try:
-        jvm = spark.sparkContext._jvm
-        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
-        return True
+        # `SET` lists every explicitly-set SQL conf (static + runtime)
+        all_confs = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
     except Exception:
-        return False
+        return None
+    names = [
+        k[len("spark.sql.catalog."):]
+        for k, v in all_confs.items()
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3
+        and v in _ICEBERG_IMPLS
+    ]
+    if not names:
+        return None
+    return "spark_catalog" if "spark_catalog" in names else sorted(names)[0]
 
 
 def get_catalog(spark: SparkSession, root: str):
-    """Iceberg when the runtime is on the classpath, else parquet+manifest."""
-    if iceberg_available(spark):
-        return IcebergCatalog(spark)
+    """Iceberg when a session catalog is configured for it, else
+    parquet+manifest."""
+    name = iceberg_catalog_name(spark)
+    if name is not None:
+        return IcebergCatalog(spark, name)
     return ParquetCatalog(spark, root)

@@ -115,8 +115,13 @@ def cmd_analyze(args) -> int:
     if args.output:
         R.write_report(out, args.output)
         print(f"report written to {args.output}")
-    else:
+    elif args.json or args.endpoint or args.daily_summary:
+        # drill-down / daily dicts have no console layout in the reference
         print(json.dumps(out, indent=2, default=str))
+    else:
+        from .operators.console import render_report
+
+        print(render_report(out))
     return 0
 
 
@@ -234,6 +239,8 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--endpoint", default=None)
     pa.add_argument("--daily-summary", action="store_true", default=False)
     pa.add_argument("--output", default=None)
+    pa.add_argument("--json", action="store_true", default=False,
+                    help="emit raw JSON instead of the console report")
 
     pq = sub.add_parser("query", help="end-to-end parse -> enrich -> route -> report")
     pq.add_argument("--log-dir", required=True)

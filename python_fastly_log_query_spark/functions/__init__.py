@@ -3,6 +3,5 @@ from .columns import (  # noqa: F401
     host_of_url,
     ip_to_long,
     query_signature,
-    salted_key,
     status_class,
 )

@@ -81,9 +81,5 @@ def host_of_url(url: Column) -> Column:
     return F.parse_url(url, F.lit("HOST"))
 
 
-def salted_key(key: Column, salt_buckets: int = 16) -> Column:
-    """Salted shuffle key to defuse hot-key skew: pair (key, salt) where salt
-    is a stable hash-derived bucket.  Aggregations run in two phases —
-    partial on (key, salt), final on key — so a hot host fans out over
-    ``salt_buckets`` reducers (SURVEY.md §4)."""
-    return F.pmod(F.xxhash64(key, F.monotonically_increasing_id()), F.lit(salt_buckets))
+# skew salting lives in operators/skew.py (salted_counts) — the oracle-equal
+# two-phase implementation; no column-level helper is exported here.

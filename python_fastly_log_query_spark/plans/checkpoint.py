@@ -117,9 +117,15 @@ def run_incremental(
     out = transform(df).withColumn(
         UNIT_COL, F.substring(F.md5(F.col("source_file")), 1, 16)
     )
-    # dynamic partition overwrite: only the units in this batch are replaced
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy(UNIT_COL).parquet(data_dir(out_dir))
+    # dynamic partition overwrite: only the units in this batch are
+    # replaced.  Set per-write (ADVICE r1) so the shared session's
+    # overwrite semantics for unrelated writes are untouched.
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(UNIT_COL)
+        .parquet(data_dir(out_dir))
+    )
 
     # per-unit metrics from the written data (one small agg job), then the
     # atomic lineage commits — strictly after the sink write

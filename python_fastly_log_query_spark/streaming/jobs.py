@@ -55,6 +55,39 @@ def stream_parse(
     return parse_logs(lines, "text", columns=columns)
 
 
+def stream_docs(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str = "doc_id long, text string, lang string, source string, n_chars long",
+) -> DataFrame:
+    """Streaming source over a parquet TABLE directory (north rule: the
+    input is an Iceberg/parquet table of web pages, not raw log files).
+    New parquet files appended to the table directory become micro-batches;
+    downstream parse/rollup operators are source-agnostic.
+
+    File streams require an explicit schema (no inference at stream start);
+    the default matches the documents table (TESTDATA.md).
+    """
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def stream_parse_docs(
+    spark: SparkSession,
+    input_dir: str,
+    line_col: str = "text",
+    columns: list[str] | None = None,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Grok parse over a streaming parquet table whose ``line_col`` holds
+    raw log lines — the table-source twin of :func:`stream_parse`."""
+    docs = (
+        stream_docs(spark, input_dir, schema)
+        if schema is not None
+        else stream_docs(spark, input_dir)
+    )
+    return parse_logs(docs.select(F.col(line_col).alias("text")), "text", columns=columns)
+
+
 def hourly_rollup(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour event-time rollup with late-data watermark (G2)."""
     return (

@@ -40,3 +40,38 @@ def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
     spark.range(99).write.parquet(os.path.join(str(tmp_path), "t", "data", "snap=dead"))
     assert cat.read("t").count() == 10  # orphan dir not visible
     assert cat.row_count("t") == 10
+
+
+def test_as_of_unknown_snapshot_raises(spark, tmp_path):
+    """ADVICE r1: a typo'd/overwritten-away snapshot id must fail loudly,
+    never silently return the full current table."""
+    import pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.append("t", spark.range(5))
+    with pytest.raises(KeyError, match="no snapshot"):
+        cat.read("t", as_of="deadbeef0000")
+
+
+def test_get_catalog_requires_configured_iceberg_catalog(spark, tmp_path):
+    """ADVICE r1: Iceberg selection keys off spark.sql.catalog.<name> conf,
+    not Class.forName — jars on a classpath don't configure a catalog."""
+    from python_fastly_log_query_spark.catalog import (
+        IcebergCatalog, iceberg_catalog_name,
+    )
+
+    # this sandbox has no iceberg conf -> parquet backend
+    assert iceberg_catalog_name(spark) is None
+    assert isinstance(get_catalog(spark, str(tmp_path)), ParquetCatalog)
+
+    # a configured catalog name is detected and preferred
+    spark.conf.set(
+        "spark.sql.catalog.lakehouse", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert iceberg_catalog_name(spark) == "lakehouse"
+        cat = get_catalog(spark, str(tmp_path))
+        assert isinstance(cat, IcebergCatalog) and cat.catalog == "lakehouse"
+    finally:
+        spark.conf.unset("spark.sql.catalog.lakehouse")
+    assert iceberg_catalog_name(spark) is None
