@@ -146,7 +146,15 @@ def main() -> None:
 
     for name in STANDALONE_QUERIES:
         fn = qmap[name]
-        timings[name] = timed(lambda fn=fn: fn(spark, SF_DIR).collect())
+        # noop sink: full compute, no driver-side row transfer (pair
+        # generators can emit 10^6 rows at sf0.1 — collecting them would
+        # measure py4j serialization, not the engine)
+        timings[name] = timed(
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
 
     parsed.unpersist()
     total = round(sum(timings.values()), 4)

@@ -43,28 +43,57 @@ def word_shingles(text: F.Column, n: int = 3) -> F.Column:
 
 # ---------------------------------------------------------------- minhash
 
-
-def _hash_k(k: int):
-    # one-arg closure: a default-arg lambda would have two parameters and
-    # pyspark would bind the second to the array index
-    return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
-
-
-def minhash_signature(shingles: F.Column, num_hashes: int = 16) -> F.Column:
-    """Array of ``num_hashes`` minhash values: for permutation k, the
-    lexicographic min of ``md5('<k>:' || shingle)``."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, _hash_k(k))) for k in range(num_hashes)]
-    )
+# Mersenne prime 2^31-1: permutation values stay far from 64-bit overflow
+# even at k * b (ANSI-mode arithmetic errors on overflow in Spark 4)
+_P = (1 << 31) - 1
 
 
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return docs.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col)), num_hashes).alias("signature"),
+    """Array of ``num_hashes`` minhash values per doc.
+
+    ONE md5 per shingle; permutation k is the affine map
+    ``(a + k*b) mod (2^31-1)`` where ``a``/``b`` are 60-bit ints from the
+    digest halves — evaluating a random line at point k, so any two
+    permutations are pairwise independent.  DuckDB recomputes the values
+    byte-identically (``CAST('0x' || substr(md5(s), ...) AS BIGINT)``).
+
+    Plan shape matters more than the formula here: shingling, hashing and
+    the (a, b) arrays are materialized as real columns in SEPARATE
+    projections.  Higher-order functions are interpreted (no codegen CSE),
+    so inlining them into each of the 16 min-expressions re-evaluates the
+    whole shingle pipeline 16x — the round-1 version did exactly that and
+    spent 264s on 5000 docs; Catalyst keeps the projections separate
+    because the aliases are non-cheap.  Combined with :func:`spread` this
+    is minutes -> seconds at small scale and embarrassingly parallel at
+    10^12 docs.
+    """
+    from ..plans.partitioning import spread
+
+    sh = spread(docs).select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("_sh")
     )
+    hashed = sh.select(id_col, F.transform("_sh", F.md5).alias("_h"))
+    ab = hashed.select(
+        id_col,
+        F.transform(
+            "_h", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _P
+        ).alias("_a"),
+        F.transform(
+            "_h",
+            lambda h: F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % (_P - 1) + 1,
+        ).alias("_b"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.zip_with("_a", "_b", lambda a, b: (a + F.lit(k) * b) % _P)
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return ab.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -85,7 +114,11 @@ def lsh_candidate_pairs(
         *[
             F.md5(
                 F.concat_ws(
-                    "|", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                    "|",
+                    *[
+                        F.element_at("signature", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
                 )
             )
             for b in range(bands)
@@ -110,36 +143,67 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------- simhash
 
 
-def simhash(text: F.Column, bits: int = 16) -> F.Column:
-    """``bits``-bit SimHash over word tokens.
+def simhash_from_hashes(token_hashes: F.Column, bits: int = 16) -> F.Column:
+    """``bits``-bit SimHash from PRE-COMPUTED per-token md5 hex digests.
 
-    Bit j of a token's fingerprint = (hex digit j of md5(token)) >= 8.
+    Bit j of a token's fingerprint = (hex digit j of its digest) >= 8.
     SimHash bit j = majority vote across tokens (+1/-1 sum >= 0), packed
-    little-endian into a long.
+    little-endian; shiftleft (not bit * 2^j literals) so bit 63 packs into
+    the sign bit at bits=64.
     """
-    toks = F.split(text, " ")
 
     def _vote_merge(j: int):
-        return lambda s, t: s + F.when(
-            F.substring(F.md5(t), j + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
+        return lambda s, h: s + F.when(
+            F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
         ).otherwise(-1)
 
-    # majority vote per bit via aggregate over tokens; shiftleft (not
-    # bit * 2^j literals) so bit 63 packs into the sign bit at bits=64
     acc = None
     for j in range(bits):
-        vote = F.aggregate(toks, F.lit(0), _vote_merge(j))
+        vote = F.aggregate(token_hashes, F.lit(0), _vote_merge(j))
         bit = F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, j)
         acc = term if acc is None else acc.bitwiseOR(term)
     return acc
 
 
+def _token_digest(bits: int):
+    """Per-token hex digest wide enough for ``bits`` sign digits: one md5
+    gives 32 hex chars; wider signatures concatenate salted digests
+    (bit j reads digit j, so j >= 32 NEEDS the second digest — reading
+    past the string would silently freeze those bits at the -1 vote)."""
+    n_digests = (bits + 31) // 32
+
+    def fn(t: F.Column) -> F.Column:
+        parts = [F.md5(t)] + [
+            F.md5(F.concat(F.lit(f"{i}:"), t)) for i in range(1, n_digests)
+        ]
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    return fn
+
+
+def simhash(text: F.Column, bits: int = 16) -> F.Column:
+    """Inline-column SimHash (digests recomputed per bit — prefer
+    :func:`simhash_docs`, which materializes one digest per token)."""
+    return simhash_from_hashes(
+        F.transform(F.split(text, " "), _token_digest(bits)), bits
+    )
+
+
 def simhash_docs(docs: DataFrame, bits: int = 16) -> DataFrame:
-    return docs.select("doc_id", simhash(F.col("text"), bits).alias("simhash"))
+    """Materialize per-token digests in their own projection first: the
+    ``bits`` vote aggregates are interpreted expressions with no CSE, so
+    inlining md5 into each bit hashes every token ``bits`` times (the
+    round-1 shape).  One digest per token -> ``bits``x fewer md5 calls."""
+    from ..plans.partitioning import spread
+
+    hashed = spread(docs).select(
+        "doc_id",
+        F.transform(F.split("text", " "), _token_digest(bits)).alias("_th"),
+    )
+    return hashed.select(
+        "doc_id", simhash_from_hashes(F.col("_th"), bits).alias("simhash")
+    )
 
 
 def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
@@ -224,12 +288,15 @@ def jaccard_topk(docs: DataFrame, query_doc_id: int = 0, k: int = 10, n: int = 3
     """Top-k most-similar docs to one query doc by exact n-gram Jaccard —
     brute force over a broadcast single-row query side (correctness
     baseline; LSH narrows candidates at scale)."""
-    q = docs.filter(F.col("doc_id") == query_doc_id).select(
+    from ..plans.partitioning import spread
+
+    d = spread(docs)
+    q = d.filter(F.col("doc_id") == query_doc_id).select(
         F.col("text").alias("_qtext")
     )
     sim = ngram_jaccard(F.col("text"), F.col("_qtext"), n)
     return (
-        docs.filter(F.col("doc_id") != query_doc_id)
+        d.filter(F.col("doc_id") != query_doc_id)
         .crossJoin(F.broadcast(q))
         .select("doc_id", F.round(sim, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))

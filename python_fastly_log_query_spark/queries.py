@@ -974,13 +974,20 @@ sh AS (SELECT doc_id, text,
        FROM toks)
 """
 
+# affine permutations in lockstep with operators/dedup.py
+# minhash_signatures: one md5 per shingle, h_k = (a + k*b) mod (2^31-1)
+_MP = (1 << 31) - 1
+_A_SQL = f"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MP}"
+_B_SQL = f"CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % {_MP - 1} + 1"
+
 _SIG_SQL = "[" + ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{k}:' || s)))" for k in range(_NH)
+    f"list_min(list_transform(shingles, s -> ({_A_SQL} + {k} * ({_B_SQL})) % {_MP}))"
+    for k in range(_NH)
 ) + "]"
 
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, md5("
-    + " || '|' || ".join(f"sg[{b * _ROWS + r + 1}]" for r in range(_ROWS))
+    + " || '|' || ".join(f"CAST(sg[{b * _ROWS + r + 1}] AS VARCHAR)" for r in range(_ROWS))
     + ") AS key FROM sig"
     for b in range(_NB)
 )

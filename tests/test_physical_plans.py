@@ -173,3 +173,17 @@ def test_neardup_pipeline_giant_cluster_guard(spark):
     assert groups.filter(F.col("copies") == 1000).count() == 1
     # representatives-only pairs: bounded by distinct texts, not copies
     assert out["pairs"].count() <= 21 * 20 / 2
+
+
+def test_simhash_wide_signature_uses_high_bits(spark):
+    """bits > 32 outruns one md5's 32 hex digits; the high bits must come
+    from the salted second digest, not a frozen out-of-range substring
+    (which votes -1 for every token and zeroes bits 32..63)."""
+    from python_fastly_log_query_spark.operators.dedup import simhash_docs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    vals = [r["simhash"] for r in simhash_docs(docs, 64).collect()]
+    # ~half of random docs should set bit 63 (negative long) and the
+    # 32..62 range; all-zero high halves mean the digest is too narrow
+    assert any(v < 0 for v in vals)
+    assert any((v >> 32) & 0x7FFFFFFF for v in vals)
