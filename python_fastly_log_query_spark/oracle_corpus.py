@@ -84,10 +84,15 @@ def parsed_events(
     """The oracle corpus, parsed by the real pipeline parser.
 
     ``columns`` prunes the parsed output (manual projection through the
-    UDF boundary — see operators/parse.py)."""
+    UDF boundary — see operators/parse.py).  The testdata events table is
+    one small parquet file per SF, so the pandas-UDF parse would run as a
+    single task; spread() fans the lines over the cluster first (no-op on
+    well-partitioned production input)."""
+    from .plans.partitioning import spread
+
     return parse_logs(
-        log_lines(spark, sf_dir), line_col="text", passthrough=["event_id"],
-        columns=columns,
+        spread(log_lines(spark, sf_dir)), line_col="text",
+        passthrough=["event_id"], columns=columns,
     )
 
 

@@ -10,6 +10,17 @@ zstd/parquet landing zones; this source exists for reference parity).
 ``source_file`` comes from the scan metadata; ``line_number`` (1-based,
 per file) is a per-partition counter, exact because unsplittable /
 small-file inputs map one file to one partition.
+
+Object stores (reference src/sync/s3_sync.py:62-243 downloads S3 objects
+to local disk first): Spark reads buckets in place — pass ``s3a://bucket/
+prefix`` anywhere this module takes a path and the same jobs run
+unchanged.  Deploy-time requirements (not shipped in this sandbox, no
+network): ``hadoop-aws`` + ``aws-java-sdk-bundle`` on the classpath
+(``spark-submit --packages org.apache.hadoop:hadoop-aws:<hadoop-ver>``)
+and credentials via the default provider chain or
+``spark.hadoop.fs.s3a.access.key`` / ``.secret.key`` confs; the
+incremental skip-list (plans/checkpoint.py) replaces the reference's
+download-dedup, so no local sync step exists at all.
 """
 
 from __future__ import annotations
@@ -23,9 +34,18 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_REMOTE_SCHEMES = ("s3a://", "s3://", "gs://", "abfss://", "hdfs://")
+
 
 def list_log_files(log_dir: str) -> list[str]:
-    """Reference glob: ``*.log`` + ``*.log.gz``, sorted for determinism."""
+    """Reference glob: ``*.log`` + ``*.log.gz``, sorted for determinism.
+
+    Remote URIs are returned as Hadoop glob patterns (expanded by the
+    scan itself — object-store listing belongs in the cluster's
+    FileSystem client, not in driver-side Python)."""
+    if log_dir.startswith(_REMOTE_SCHEMES):
+        base = log_dir.rstrip("/")
+        return [f"{base}/**/*.log", f"{base}/**/*.log.gz"]
     return sorted(
         glob.glob(os.path.join(log_dir, "**", "*.log"), recursive=True)
         + glob.glob(os.path.join(log_dir, "**", "*.log.gz"), recursive=True)
