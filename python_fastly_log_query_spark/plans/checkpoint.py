@@ -117,6 +117,13 @@ def run_incremental(
     out = transform(df).withColumn(
         UNIT_COL, F.substring(F.md5(F.col("source_file")), 1, 16)
     )
+    # free metrics from the write job itself (df.observe piggybacks on the
+    # sink action — no extra scan); per-UNIT counts still come from the
+    # partition-pruned readback below because observe() cannot group
+    from pyspark.sql import Observation
+
+    obs = Observation("sink_metrics")
+    out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     # dynamic partition overwrite: only the units in this batch are
     # replaced.  Set per-write (ADVICE r1) so the shared session's
     # overwrite semantics for unrelated writes are untouched.
@@ -126,6 +133,7 @@ def run_incremental(
         .partitionBy(UNIT_COL)
         .parquet(data_dir(out_dir))
     )
+    summary["rows_written"] = int(obs.get["rows_written"])
 
     # per-unit metrics from the written data (one small agg job), then the
     # atomic lineage commits — strictly after the sink write

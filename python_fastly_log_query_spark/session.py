@@ -52,6 +52,14 @@ def builder_conf(
         #   whole machine and thrashes its allotment).
         .config("spark.driver.extraJavaOptions", _java_opts())
         .config("spark.executor.extraJavaOptions", "-XX:G1HeapRegionSize=32m")
+        # bucketed tables (plans/bucketing.py) register in the session
+        # catalog; keep their data out of the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/root/repo/_work/spark-warehouse"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
 

@@ -187,3 +187,38 @@ def test_simhash_wide_signature_uses_high_bits(spark):
     # 32..62 range; all-zero high halves mean the digest is too narrow
     assert any(v < 0 for v in vals)
     assert any((v >> 32) & 0x7FFFFFFF for v in vals)
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """§4 co-located join: identically-bucketed tables must join with NO
+    Exchange on either side (the shuffle was paid once at write time); the
+    same join on plain tables shuffles both sides."""
+    from python_fastly_log_query_spark.plans.bucketing import (
+        colocated_join, write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    # plain join: both fact sides shuffle on the key (disable broadcast to
+    # model fact-to-fact scale)
+    with_conf = spark.conf
+    prev = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = orders.join(lineitem, "o_orderkey")
+        assert "Exchange" in _plan(plain)
+
+        write_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", buckets=8)
+        j = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the bucketed join returns the same rows
+        assert j.count() == plain.count()
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
