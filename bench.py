@@ -93,8 +93,20 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # warm the JVM/Arrow path on a tiny slice so we measure the engine,
-    # not first-call classloading
+    # not first-call classloading; the dedup/ANN queries additionally
+    # exercise interpreted higher-order expressions whose first evaluation
+    # pays multi-second codegen/classload (measured: 14s cold vs 2.5s for
+    # a strict superset query run right after)
     oc.parsed_events(spark, "/root/testdata/sf0.001").limit(100).count()
+    for warm_q in (
+        "dedup_minhash_lsh",
+        "embedding_lsh_topk",
+        "embedding_neardup_banded",
+        "simhash_neardup_pairs",
+    ):
+        qmap[warm_q](spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     # ---- flagship: full parse -> enrich -> route -> hourly rollup ----
     n_rows = oc.events_df(spark, SF_DIR).count()

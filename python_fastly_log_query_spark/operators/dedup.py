@@ -41,6 +41,35 @@ def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     return F.when(k >= n, grams).otherwise(F.array(text))
 
 
+# ---------------------------------------------------------------- self-join
+
+
+def selfjoin_ready(keyed: DataFrame) -> DataFrame:
+    """Prepare an exploded ``(band/block, key)`` frame for its self-join.
+
+    Two plan problems with the naive ``a.join(b)`` over the same lineage:
+    - the hash pipeline runs ONCE PER SIDE (exchange reuse does not fire
+      across the alias branches — verified with explain; worst-case GC
+      stragglers then hit twice: 0.5-12s per signature pass on this box);
+    - the planner happily broadcasts one side while it looks small, and a
+      banded table is O(N x bands) rows at production scale.
+
+    Persisting computes the frame once and lets both sides read it.  The
+    join strategy then self-selects by size: under
+    ``autoBroadcastJoinThreshold`` (small/test scale) the planner
+    broadcasts the cached frame — full probe-side parallelism; above it
+    (production) both sides shuffle into a SortMergeJoin on the key
+    columns.  Forcing merge at small scale was measured WORSE: AQE
+    coalesces the tiny (band, key) shuffle to a handful of tasks and the
+    compute-heavy pair projection loses the cluster.  (At warehouse scale
+    the equivalent of the persist is materializing the signature table as
+    a pipeline stage — same idea, durable storage.)
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return keyed.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # ---------------------------------------------------------------- minhash
 
 # Mersenne prime 2^31-1: permutation values stay far from 64-bit overflow
@@ -124,8 +153,8 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "key")
+    banded = selfjoin_ready(
+        sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band", "key"))
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -239,19 +268,21 @@ def simhash_neardup_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2)
     n_blocks = max_hamming + 1
     blocks = simhash_blocks(bits, n_blocks)
     s = simhash_docs(docs, bits)
-    keyed = s.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", shift).bitwiseAND(
-                        F.lit((1 << w) - 1)
-                    )
-                    for (shift, w) in blocks
-                ]
-            )
-        ).alias("block", "key"),
+    keyed = selfjoin_ready(
+        s.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("simhash", shift).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        )
+                        for (shift, w) in blocks
+                    ]
+                )
+            ).alias("block", "key"),
+        )
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

@@ -129,8 +129,12 @@ def neardup_pairs(
     use :func:`banded_neardup_pairs`, whose bucket count grows with the
     band width instead of staying constant.
     """
-    b = lsh_buckets(with_norm(emb), n_planes, dim).select(
-        id_col, "embedding", "_norm", "bucket"
+    from .dedup import selfjoin_ready
+
+    b = selfjoin_ready(
+        lsh_buckets(with_norm(emb), n_planes, dim).select(
+            id_col, "embedding", "_norm", "bucket"
+        )
     )
     a2, b2 = b.alias("a"), b.alias("b")
     c = dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -185,16 +189,25 @@ def banded_neardup_pairs(
             for b in range(bands)
         ]
     )
-    keyed = with_norm(emb).select(
-        F.col(id_col),
-        F.col("embedding"),
-        F.col("_norm"),
-        F.posexplode(band_keys).alias("band", "key"),
+    from .dedup import selfjoin_ready
+
+    keyed = selfjoin_ready(
+        with_norm(emb).select(
+            F.col(id_col),
+            F.col("embedding"),
+            F.col("_norm"),
+            F.posexplode(band_keys).alias("band", "key"),
+        )
     )
     a, b2 = keyed.alias("a"), keyed.alias("b")
     c = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a._norm") * F.col("b._norm")
     )
+    # dedup via groupBy (not filter->distinct): the aggregate is a
+    # predicate-pushdown BARRIER, so the cosine evaluates exactly once per
+    # candidate — a filter above the pair projection gets pushed into the
+    # join condition and re-evaluates the interpreted 64-element dot per
+    # row (measured 11.7s vs 2.5s on 2M candidates at sf0.1)
     return (
         a.join(
             b2,
@@ -207,6 +220,7 @@ def banded_neardup_pairs(
             F.col(f"b.{id_col}").alias("vec_b"),
             F.round(c, 4).alias("cosine"),
         )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first("cosine").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )

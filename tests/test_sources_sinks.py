@@ -122,6 +122,19 @@ def test_routed_fanout_partitions_input(spark, parsed_small, tmp_path):
     assert disk_counts == counts
     # routed-row equality: every 4xx row in the sink satisfies the rule
     assert back.filter((F.col("route") == "4xx") & ~F.col("status_code").between(400, 499)).count() == 0
+    # full row-level equality (north rule: routed-row equality with
+    # byte-identical extracted text): the union of sinks is exactly the
+    # input row multiset, every column included (maps via to_json — set
+    # ops reject MapType)
+    def _rows(df):
+        cols = [
+            F.to_json(c).alias(c) if c == "query_params" else F.col(c)
+            for c in sorted(df.columns)
+            if c != "route"
+        ]
+        return sorted(map(str, df.select(*cols).collect()))
+
+    assert _rows(back) == _rows(parsed_small)
 
 
 # ---------------------------------------------------------------- S11 resume
