@@ -324,15 +324,22 @@ def scaling_main(n_rows: int) -> None:
 
     pairs = {}
     for cores in (2, 8):
-        a = _last_json(_run_worker(f"0-{cores - 1}", cores, n_rows, "all"))
         # an executor JVM occasionally enters a degraded phase for its whole
         # lifetime (all reps slow); the sustained-capability measurement is
-        # the better of two independent cluster launches
-        b_runs = [_level_b(cores), _level_b(cores)]
+        # the best of three independent launches — applied SYMMETRICALLY to
+        # both cluster sizes (a degraded 1x baseline would otherwise inflate
+        # the efficiency ratio, even past 1.0)
+        a_runs = [
+            _last_json(_run_worker(f"0-{cores - 1}", cores, n_rows, "all"))
+            for _ in range(3)
+        ]
+        a = max(a_runs, key=lambda w: w["rows_per_sec"])
+        b_runs = [_level_b(cores) for _ in range(3)]
         b = max(b_runs, key=lambda ws: sum(w["rows_per_sec"] for w in ws))
         tp_b = round(sum(w["rows_per_sec"] for w in b), 1)
         pairs[cores] = {
             "a": a, "b": b, "tp_a": a["rows_per_sec"], "tp_b": tp_b,
+            "tp_a_runs": [w["rows_per_sec"] for w in a_runs],
             "tp_b_runs": [round(sum(w["rows_per_sec"] for w in ws), 1) for ws in b_runs],
             "eff": round(tp_b / a["rows_per_sec"] / 4, 3),
         }

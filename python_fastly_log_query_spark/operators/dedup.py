@@ -6,10 +6,10 @@ embedding-cosine near-dup.  All are pure Catalyst higher-order column
 expressions — no UDFs — so they run JVM-side, whole-stage-codegen'd, and
 scale by partitioning alone.
 
-Determinism contract: every hash is ``md5`` of an explicit string, so the
-DuckDB oracles in queries.py recompute byte-identical values.  MinHash
-uses the lexicographic order of md5 hex digests as its permutation proxy
-(a valid uniform order; no RNG, no seed state).
+Determinism contract: every hash derives from ``md5`` of an explicit
+string, so the DuckDB oracles in queries.py recompute byte-identical
+values.  MinHash permutations are affine maps over integers taken from
+the digest halves (see minhash_signatures; no RNG, no seed state).
 
 Scale notes (100 TB):
 - signatures/simhash are embarrassingly parallel projections;

@@ -57,3 +57,19 @@ def test_load_sources_registry(tmp_path):
     assert sources[0].route_by == "lang"
     assert sources[1].route_by == "status_class"
     assert sources[1].options == {"retention_days": 30}
+
+
+def test_spread_is_noop_on_well_partitioned_input(spark):
+    """spread() must add a repartition only for under-partitioned scans —
+    on production-shaped inputs it returns the frame unchanged (no shuffle
+    inserted at 100 TB)."""
+    from python_fastly_log_query_spark.plans.partitioning import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, target)
+    assert spread(wide) is wide
+
+    narrow = spark.range(0, 10_000, 1, 1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
