@@ -958,8 +958,9 @@ def q_embedding_topk_cosine(spark, sf):
 # ================================================================ dedup / near-dup
 #
 # Shared determinism contract with operators/dedup.py: shingles are word
-# 3-grams, every hash is md5 of an explicit string, minhash order is
-# lexicographic md5 hex.  The SQL below recomputes the identical values.
+# 3-grams, every hash derives from md5 of an explicit string, minhash
+# permutations are affine maps over digest-half integers.  The SQL below
+# recomputes the identical values.
 
 _NH, _NB = 16, 4  # minhash count, LSH bands
 _ROWS = _NH // _NB
@@ -992,10 +993,8 @@ _BANDS_SQL = "\nUNION ALL\n".join(
     for b in range(_NB)
 )
 
-_LSH_CTE = (
-    "WITH "
-    + _SHINGLES_CTE
-    + f", sig AS (SELECT doc_id, {_SIG_SQL} AS sg FROM sh)"
+_LSH_BODY = (
+    f", sig AS (SELECT doc_id, {_SIG_SQL} AS sg FROM sh)"
     + f", bands AS ({_BANDS_SQL})"
     + """, pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1003,6 +1002,17 @@ _LSH_CTE = (
   WHERE a.doc_id < b.doc_id
 )"""
 )
+
+_LSH_CTE = "WITH " + _SHINGLES_CTE + _LSH_BODY
+
+_VERIFIED_SELECT = """
+SELECT p.doc_a, p.doc_b,
+       round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
 
 
 @register("dedup_minhash_lsh", _LSH_CTE + "\nSELECT doc_a, doc_b FROM pairs")
@@ -1053,23 +1063,30 @@ def q_dedup_jaccard_topk(spark, sf):
     return jaccard_topk(docs, 0, 10)
 
 
-@register(
-    "dedup_lsh_verified",
-    _LSH_CTE
-    + """
-SELECT p.doc_a, p.doc_b,
-       round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
-WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
-      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
-""",
-)
+@register("dedup_lsh_verified", _LSH_CTE + _VERIFIED_SELECT)
 def q_dedup_lsh_verified(spark, sf):
     from .operators.dedup import lsh_verified_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return lsh_verified_pairs(docs, 0.5, _NH, _NB)
+
+
+@register(
+    "neardup_pipeline_pairs",
+    "WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),\n"
+    "reps_t AS (SELECT d.doc_id, d.text FROM documents d JOIN reps ON d.doc_id = reps.doc_id),\n"
+    + _SHINGLES_CTE.replace("FROM documents", "FROM reps_t")
+    + _LSH_BODY
+    + _VERIFIED_SELECT,
+)
+def q_neardup_pipeline_pairs(spark, sf):
+    """The composed giant-cluster-guarded pipeline (VERDICT r1 item 7):
+    exact dedup -> MinHash-LSH + Jaccard verify over unique-text
+    representatives; oracle recomputes the same dedup-first composition."""
+    from .operators.dedup import neardup_pipeline
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return neardup_pipeline(docs, 0.5, _NH, _NB)["pairs"]
 
 
 # pigeonhole blocking in lockstep with operators/dedup.py
@@ -1343,7 +1360,7 @@ _DRIVER_PRIORITY = [
     "approx_distinct_ips_per_path", "salted_path_counts", "media_features",
     # new in round 2
     "embedding_neardup_banded", "endpoint_parameter_values",
-    "total_requests", "routed_lang_counts",
+    "total_requests", "routed_lang_counts", "neardup_pipeline_pairs",
     # representative round-1 greens (joins, windows, parse, skew, filters)
     "parse_roundtrip", "geoip_country_counts", "broadcast_join_mktsegment",
     "routed_status_class_counts", "last_hours_window", "daily_summary",
