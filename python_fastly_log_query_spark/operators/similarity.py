@@ -224,3 +224,81 @@ def banded_neardup_pairs(
         .agg(F.first("cosine").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantizer with a deterministic codebook: cell j's
+    centroid is the stored embedding of ``vec_id j`` (no k-means
+    iterations, no RNG — the DuckDB oracle recomputes assignments
+    exactly; swap in trained centroids at deploy time).
+
+    Assignment = argmax-cosine centroid, computed as a broadcast
+    cross-join against the ``n_cells``-row codebook + a per-vector
+    ranking window.  Returns ``(id, embedding, _norm, cell)``.  At 10^12
+    rows ``cell`` is the table's partition/cluster key.
+    """
+    from pyspark.sql.window import Window
+
+    base = with_norm(emb)
+    cents = base.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col("embedding").alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    cs = dot(F.col("embedding"), F.col("_ce")) / (F.col("_norm") * F.col("_cn"))
+    scored = base.join(F.broadcast(cents)).select(
+        id_col, "embedding", "_norm", "cell", cs.alias("_cs")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_cs")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: rank exact cosine within the query's ``nprobe``
+    closest cells only.  With ``nprobe == n_cells`` this degrades to the
+    exact brute-force ranking (tested), so recall is tunable at query
+    time; the scan prunes to nprobe/n_cells of the table when ``cell``
+    partitions the storage.
+    """
+    assign = ivf_assign(emb, n_cells, id_col)
+    q = assign.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
+    )
+    cents = assign.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col("embedding").alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    qcs = dot(F.col("qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn"))
+    probe_cells = (
+        cents.join(F.broadcast(q))
+        .select("cell", qcs.alias("_qcs"))
+        .orderBy(F.desc("_qcs"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    c = dot(F.col("embedding"), F.col("qe")) / (F.col("_norm") * F.col("_qn"))
+    return (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .join(F.broadcast(q))
+        .select(id_col, c.alias("c"))
+        .orderBy(F.desc("c"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("c", 4).alias("cosine"))
+    )

@@ -869,6 +869,24 @@ def q_token_counts(spark, sf):
 
 
 @register(
+    "token_counts_bpe",
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens FROM documents",
+)
+def q_token_counts_bpe(spark, sf):
+    """BPE-ish pre-tokenizer count (driver brief: 'whitespace + a BPE-ish
+    regex'): letter runs / digit runs / single punctuation marks — the
+    GPT-2 pre-split shape without merges, portable across Java regex and
+    DuckDB RE2."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+@register(
     "quality_scores",
     f"""
 WITH t AS (
@@ -1156,6 +1174,44 @@ def q_embedding_lsh_topk(spark, sf):
     return lsh_topk(emb, 0, 10, 4, _DIM)
 
 
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+
+@register(
+    "embedding_ivf_topk",
+    f"""
+WITH base AS (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(embedding, embedding)) AS nrm
+              FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < {_IVF_CELLS}),
+scored AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+                  list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
+           FROM base b CROSS JOIN cents c),
+assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+             SELECT vec_id, embedding, nrm, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+q AS (SELECT embedding AS qe, nrm AS qn FROM assign WHERE vec_id = 0),
+probe AS (SELECT cell FROM cents, q
+          ORDER BY list_dot_product(ce, qe) / (cn * qn) DESC, cell ASC LIMIT {_IVF_NPROBE})
+SELECT a.vec_id,
+       round(list_dot_product(a.embedding, qe) / (a.nrm * qn), 4) AS cosine
+FROM assign a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+ORDER BY list_dot_product(a.embedding, qe) / (a.nrm * qn) DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def q_embedding_ivf_topk(spark, sf):
+    """IVF ANN (driver brief: 'an IVF or LSH-bucketed variant as the scale
+    path') — coarse-quantizer cells from a deterministic codebook, query
+    probes its nprobe closest cells; nprobe == n_cells degrades to exact
+    brute force (tested)."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_topk(emb, 0, 10, _IVF_CELLS, _IVF_NPROBE)
+
+
 @register(
     "embedding_neardup_pairs",
     f"""
@@ -1361,6 +1417,7 @@ _DRIVER_PRIORITY = [
     # new in round 2
     "embedding_neardup_banded", "endpoint_parameter_values",
     "total_requests", "routed_lang_counts", "neardup_pipeline_pairs",
+    "embedding_ivf_topk", "token_counts_bpe",
     # representative round-1 greens (joins, windows, parse, skew, filters)
     "parse_roundtrip", "geoip_country_counts", "broadcast_join_mktsegment",
     "routed_status_class_counts", "last_hours_window", "daily_summary",

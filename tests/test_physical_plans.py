@@ -222,3 +222,21 @@ def test_bucketed_join_eliminates_shuffle(spark):
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF recall contract: probing ALL cells must reproduce the exact
+    brute-force top-k (the quantizer only prunes, never re-ranks)."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        brute_topk, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    brute = [(r["vec_id"], r["cosine"]) for r in brute_topk(emb, 0, 10).collect()]
+    full = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, 0, 10, n_cells=8, nprobe=8).collect()]
+    assert full == brute
+    # narrow probe returns a subset of the assigned cells' vectors, still
+    # sorted by exact cosine, and includes the query's own cell best hits
+    narrow = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, 0, 10, n_cells=8, nprobe=2).collect()]
+    assert narrow == sorted(narrow, key=lambda t: (-t[1], t[0]))
+    assert narrow[0][0] == 0  # the query vector itself (cosine 1.0)
