@@ -79,6 +79,36 @@ def parse_roundtrip(spark, sf):
     )
 
 
+@register(
+    "parse_roundtrip_native",
+    L
+    + """
+SELECT event_id, strftime(ts_s, '%Y-%m-%d %H:%M:%S') AS ts, priority,
+       cache_server, process, pid, ip_address, http_method, path,
+       query_string, status_code, response_size, user_agent, cache_status
+FROM logs
+""",
+)
+def parse_roundtrip_native(spark, sf):
+    """Same oracle as parse_roundtrip, but through the JVM-only one-pass
+    regexp parser (operators/parse.py:parse_logs_native) — driver-level
+    proof the codegen fast path is value-identical to the pandas
+    byte-parity parser on well-formed input."""
+    from .operators.parse import parse_logs_native
+    from .plans.partitioning import spread
+
+    p = parse_logs_native(
+        spread(oc.log_lines(spark, sf)), "text", passthrough=["event_id"]
+    )
+    return p.select(
+        "event_id",
+        F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "priority", "cache_server", "process", "pid", "ip_address",
+        "http_method", "path", "query_string", "status_code",
+        "response_size", "user_agent", "cache_status",
+    )
+
+
 # ================================================================ traffic
 
 
@@ -1417,7 +1447,7 @@ _DRIVER_PRIORITY = [
     # new in round 2
     "embedding_neardup_banded", "endpoint_parameter_values",
     "total_requests", "routed_lang_counts", "neardup_pipeline_pairs",
-    "embedding_ivf_topk", "token_counts_bpe",
+    "embedding_ivf_topk", "token_counts_bpe", "parse_roundtrip_native",
     # representative round-1 greens (joins, windows, parse, skew, filters)
     "parse_roundtrip", "geoip_country_counts", "broadcast_join_mktsegment",
     "routed_status_class_counts", "last_hours_window", "daily_summary",
