@@ -64,10 +64,37 @@ def selfjoin_ready(keyed: DataFrame) -> DataFrame:
     compute-heavy pair projection loses the cluster.  (At warehouse scale
     the equivalent of the persist is materializing the signature table as
     a pipeline stage — same idea, durable storage.)
+
+    Lifecycle (VERDICT r2 item 5): every persist is tracked in a module
+    registry; :func:`release_persists` frees them all.  The query-registry
+    wrapper (queries._with_session_confs) releases at the START of each
+    query, so a long sweep (the 50-query driver gate, the bench loop)
+    never accumulates dead cache entries across queries while the frame
+    stays live for its own consuming action.
     """
     from pyspark.storagelevel import StorageLevel
 
-    return keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    df = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def release_persists() -> int:
+    """Unpersist every frame :func:`selfjoin_ready` still holds; returns
+    how many were released.  Safe to call between queries — unpersist is
+    lazy/non-blocking and any already-stopped session is skipped."""
+    n = 0
+    while _LIVE_PERSISTS:
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
+    return n
 
 
 # ---------------------------------------------------------------- minhash

@@ -1,10 +1,18 @@
 """Local mirror of the driver's correctness gate: run every registry query
 on Spark AND its DuckDB oracle over the same parquet, compare row count,
-column names, and order-insensitive values (SURVEY.md §5.3)."""
+column names, and order-insensitive values (SURVEY.md §5.3).
+
+Full-coverage artifact (ADVICE r2): the registry is iterated in stable
+insertion order and external gates may verify only a prefix of it, so this
+module records a per-query result for EVERY registered query and writes
+CORRECTNESS_FULL.json at the repo root when the whole sweep ran —
+the legitimate full-coverage record, regenerated on each pytest run."""
 
 from __future__ import annotations
 
+import json
 import math
+import os
 
 import duckdb
 import pytest
@@ -12,6 +20,10 @@ import pytest
 from conftest import SF_SMALL
 
 import __spark_entry__ as entrymod
+
+_ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "CORRECTNESS_FULL.json")
+_RESULTS: dict[str, dict] = {}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -53,6 +65,7 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, ddb, name):
+    rec = _RESULTS[name] = {"status": "error", "oracle": "full"}
     sdf = QUERIES[name](spark, SF_SMALL)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
@@ -61,6 +74,7 @@ def test_query_matches_oracle(spark, ddb, name):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
 
+    rec.update(spark_rows=len(srows), oracle_rows=len(orows))
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} != {len(orows)}"
     sset = _rows_to_set(scols, srows)
@@ -69,9 +83,30 @@ def test_query_matches_oracle(spark, ddb, name):
         diff_s = [r for r in sset if r not in oset][:5]
         diff_o = [r for r in oset if r not in sset][:5]
         raise AssertionError(f"{name}: values differ\n spark-only: {diff_s}\n oracle-only: {diff_o}")
+    rec["status"] = "match"
 
 
 def test_no_oracle_queries_still_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
+        rec = _RESULTS[name] = {"status": "error", "oracle": "rows_only"}
         df = QUERIES[name](spark, SF_SMALL)
-        assert df.count() >= 0, name
+        rec["spark_rows"] = df.count()
+        assert rec["spark_rows"] >= 0, name
+        rec["status"] = "ran"
+
+
+def test_zz_write_full_coverage_artifact():
+    """Runs last (alphabetical within module); writes the artifact only
+    when the whole registry was swept in this pytest invocation."""
+    if set(_RESULTS) != set(QUERIES):
+        pytest.skip("partial run — artifact reflects full sweeps only")
+    out = {
+        "sf": SF_SMALL,
+        "generated_by": "pytest tests/test_oracle_parity.py (order-insensitive value compare vs DuckDB)",
+        "registered": len(QUERIES),
+        "with_full_oracle": len(ORACLES),
+        "queries": {n: _RESULTS[n] for n in QUERIES},
+    }
+    with open(_ARTIFACT, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+        f.write("\n")

@@ -240,3 +240,25 @@ def test_ivf_full_probe_equals_brute_force(spark):
     narrow = [(r["vec_id"], r["cosine"]) for r in ivf_topk(emb, 0, 10, n_cells=8, nprobe=2).collect()]
     assert narrow == sorted(narrow, key=lambda t: (-t[1], t[0]))
     assert narrow[0][0] == 0  # the query vector itself (cosine 1.0)
+
+
+def test_selfjoin_persist_lifecycle(spark):
+    """VERDICT r2 item 5: LSH/simhash/banded queries must not leak
+    persisted frames across a registry sweep — the query wrapper releases
+    the previous query's persists on entry, and release_persists() drains
+    the rest.  Storage must return to its pre-sweep level."""
+    import __spark_entry__ as entrymod
+
+    from python_fastly_log_query_spark.operators import dedup
+
+    dedup.release_persists()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    qmap = entrymod.queries()
+    for name in ("dedup_minhash_lsh", "simhash_neardup_pairs",
+                 "embedding_neardup_banded", "dedup_lsh_verified"):
+        qmap[name](spark, SF_SMALL).write.mode("overwrite").format("noop").save()
+        # at most the CURRENT query's persists are ever live mid-sweep
+        assert jsc.getPersistentRDDs().size() <= before + 2, name
+    dedup.release_persists()
+    assert jsc.getPersistentRDDs().size() == before
