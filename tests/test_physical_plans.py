@@ -262,3 +262,41 @@ def test_selfjoin_persist_lifecycle(spark):
         assert jsc.getPersistentRDDs().size() <= before + 2, name
     dedup.release_persists()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_banded_auto_sizing_recall_and_params(spark):
+    """VERDICT r2 item 1: auto-sized banded LSH must (a) grow r with N per
+    the module's own rule, and (b) at target_recall=0.999 recover EVERY
+    brute-force pair on both oracle fixtures — which is what licenses the
+    registered query's brute-force (non-LSH-mirror) oracle."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        banded_neardup_pairs, banded_params, cosine,
+    )
+
+    # r grows with N; bucket count 2^r tracks N / target_bucket_size
+    r500, _ = banded_params(500, 0.45, 0.999)
+    r2k, _ = banded_params(2_000, 0.45, 0.999)
+    r1m, _ = banded_params(1_000_000, 0.9, 0.999)
+    assert r500 <= r2k <= r1m
+    assert r1m >= 10  # 10^6 rows at a high threshold: deep pruning
+
+    for sf in (SF_SMALL, SF_ORACLE):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        a, b = emb.alias("a"), emb.alias("b")
+        brute = {
+            (r["vec_a"], r["vec_b"])
+            for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+            )
+            .filter(F.round("c", 4) >= 0.45)
+            .collect()
+        }
+        assert brute, "fixture must have pairs above threshold"
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in banded_neardup_pairs(emb, 0.45, target_recall=0.999).collect()
+        }
+        assert got == brute, sf
