@@ -146,19 +146,36 @@ def cmd_query(args) -> int:
         print(f"no log files under {args.log_dir}", file=sys.stderr)
         return 1
     parse_out = os.path.join(work, "parsed")
+
+    def _reader(fs: list) -> "DataFrame":
+        # lineage reader: (text, source_file, line_number) — the
+        # deterministic per-row identity the service join keys on below
+        from .sources.logfiles import read_log_lines
+
+        return read_log_lines(spark, fs).withColumn(
+            "source_file", F.regexp_replace("source_file", r"^file:/+", "/")
+        )
+
     summary = ck.run_incremental(
         spark, files, parse_out,
-        lambda df: parse_logs(df, "text", passthrough=["source_file"]),
+        lambda df: parse_logs(df, "text", passthrough=["source_file", "line_number"]),
+        reader=_reader,
     )
     parsed = ck.read_output(spark, parse_out).cache()
     enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
     if args.route_by == "service":
         # ADVICE r1: the enriched log frame has no service column — add it
-        # via the longest-prefix broadcast join before routing
+        # via the longest-prefix broadcast join before routing.  ADVICE r2:
+        # the join key must be DETERMINISTIC — monotonically_increasing_id
+        # is recomputed per lineage branch and enrich_service evaluates the
+        # input twice, so ids could diverge under recompute/retry; the
+        # (source_file, line_number) lineage pair identifies a row stably.
         from .operators.enrich import default_service_dim, enrich_service
 
         enriched = enrich_service(
-            enriched.withColumn("_rk", F.monotonically_increasing_id()),
+            enriched.withColumn(
+                "_rk", F.concat_ws("#", "source_file", "line_number")
+            ),
             default_service_dim(spark),
             key_col="_rk",
         ).drop("_rk")

@@ -97,19 +97,37 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Deterministic fixed-width feature vector per payload (the stub for
-    an embedding model): ``dim`` floats from the sha1 digest, unit-normed.
-    Vectorized per Arrow batch; output feeds similarity.brute_topk/lsh."""
+    an embedding model): ``dim`` float32s derived from the sha256 digest
+    of the payload bytes, unit-normed.
+
+    The derivation is deliberately recomputable BIT-IDENTICALLY in ANSI
+    SQL (the ``media_features`` DuckDB oracle in queries.py — VERDICT r2
+    item 3): uint32_i = little-endian digest bytes [4i, 4i+4),
+    v_i = (uint32_i %% 1000)/1000 - 0.5 as IEEE double, the squared-sum
+    under the norm accumulated LEFT-TO-RIGHT in digest order, and the
+    final float32 cast last — every step is an IEEE double op with the
+    same association on both engines, so Python and SQL agree to the bit.
+    Arrow-batched; output feeds similarity.brute_topk/lsh."""
+    if not 1 <= dim <= 8:
+        raise ValueError("sha256 yields 8 uint32 lanes; dim must be in [1, 8]")
 
     def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
         for pdf in batches:
             feats = []
             for d in pdf["data"]:
-                digest = hashlib.sha1(bytes(d)).digest()
-                v = np.frombuffer((digest * ((4 * dim) // len(digest) + 1))[: 4 * dim],
-                                  dtype=np.uint32).astype(np.float64)
-                v = (v % 1000) / 1000.0 - 0.5
-                norm = np.linalg.norm(v)
-                feats.append((v / norm if norm else v).astype(np.float32).tolist())
+                u = struct.unpack("<8I", hashlib.sha256(bytes(d)).digest())[:dim]
+                v = [(x % 1000) / 1000.0 - 0.5 for x in u]
+                acc = 0.0
+                for x in v:  # sequential, mirrors SQL v0*v0 + v1*v1 + ...
+                    acc = acc + x * x
+                norm = math.sqrt(acc)
+                feats.append(
+                    [np.float32(x / norm) for x in v] if norm else
+                    [np.float32(x) for x in v]
+                )
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "features": feats}
             )

@@ -391,12 +391,16 @@ def parse_logs_native(
     # lands in its own slot (the pandas parser is a prefix match too).
     # Per-field regexp_extract calls would re-run the full pattern per
     # field — measured 33k rows/s vs 63k for this shape at sf0.1.
-    # Caveat: a raw line containing \x01 itself could fake the slot
-    # count; control characters do not appear in syslog payloads.
+    # ADVICE r2 guard: a raw line containing \x01 itself could fake the
+    # slot count, so such lines are explicitly treated as non-matching
+    # (all-null fields — the documented malformed-line behavior; route
+    # untrusted/messy inputs through the pandas parser for fallbacks).
     sep = "\x01"
     repl = sep.join("$%d" % i for i in range(1, len(_LINE_SEGMENTS) + 1)) + sep
     parts = F.split(F.regexp_replace(line, pat, repl), sep)
-    matched = F.size(parts) == len(_LINE_SEGMENTS) + 1
+    matched = (F.size(parts) == len(_LINE_SEGMENTS) + 1) & (
+        F.instr(line, sep) == 0
+    )
 
     def grp(field: str) -> F.Column:
         idx = [f for f, _ in _LINE_SEGMENTS].index(field)

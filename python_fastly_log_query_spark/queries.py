@@ -1378,18 +1378,41 @@ def q_distinct_ips_per_path(spark, sf):
     )
 
 
-# rows-only check: HLL sketches differ between engines, so the approx
-# variant has no value-hash oracle — the exact twin above carries the
-# correctness check; this one is the 10^12-scale ranking path
-# ("top-N via approximate ranking", SURVEY.md §2.8).
-@register("approx_distinct_ips_per_path", None)
+# HLL sketches differ between engines, so the sketch VALUES cannot be
+# value-hash-checked against DuckDB; the exact twin above carries that.
+# This query instead registers the sketch's accuracy CONTRACT as the
+# checkable result (VERDICT r2 item 4): every per-path approx count must
+# land within 3x the configured relative standard deviation of the exact
+# count, reduced to one verifiable row — so the driver records a full
+# green row rather than a perpetual "no_oracle".
+_APPROX_RSD = 0.01
+
+
+@register(
+    "approx_distinct_ips_per_path",
+    L
+    + f"""
+SELECT true AS within_tolerance,
+       CAST(count(DISTINCT path) AS BIGINT) AS paths
+FROM logs WHERE path IS NOT NULL
+""",
+)
 def q_approx_distinct_ips_per_path(spark, sf):
-    p = _parsed(spark, sf)
-    return (
-        p.groupBy("path")
-        .agg(F.approx_count_distinct("ip_address", rsd=0.01).alias("distinct_ips"))
-        .orderBy(F.desc("distinct_ips"), F.asc("path"))
-        .limit(10)
+    """10^12-scale ranking path ("top-N via approximate ranking",
+    SURVEY.md §2.8): approx_count_distinct per path, self-checked against
+    the exact twin — max relative error <= 3*rsd over ALL paths."""
+    p = _parsed(spark, sf).filter(F.col("path").isNotNull())
+    approx = p.groupBy("path").agg(
+        F.approx_count_distinct("ip_address", rsd=_APPROX_RSD).alias("approx_ips")
+    )
+    exact = p.groupBy("path").agg(
+        F.count_distinct("ip_address").alias("exact_ips")
+    )
+    joined = approx.join(exact, "path")
+    rel_err = F.abs(F.col("approx_ips") - F.col("exact_ips")) / F.col("exact_ips")
+    return joined.agg(
+        (F.max(rel_err) <= 3 * _APPROX_RSD).alias("within_tolerance"),
+        F.count(F.lit(1)).alias("paths"),
     )
 
 
@@ -1405,14 +1428,56 @@ def q_salted_path_counts(spark, sf):
     return salted_counts(_parsed(spark, sf), "path", buckets=16)
 
 
-# rows-only check (no SQL oracle): feature vectors come from a stubbed
-# model; the driver records the weaker rows/schema check for these.
-@register("media_features", None)
+def _media_feature_sql() -> str:
+    """DuckDB mirror of multimodal.extract_features: sha256-derived
+    unit-normed float32 vector, bit-identical association (see the
+    extract_features docstring), exploded one row per dimension so every
+    value is scalar-hashable (VERDICT r2 item 3: the driver canonicalizer
+    cannot sort array<float> columns)."""
+    vs = []
+    for i in range(8):
+        u32 = " + ".join(
+            f"CAST('0x' || substr(h, {8 * i + 2 * j + 1}, 2) AS BIGINT) * {256 ** j}"
+            for j in range(4)
+        )
+        vs.append(f"(({u32}) % 1000) / 1000.0 - 0.5 AS v{i}")
+    norm = " + ".join(f"v{i}*v{i}" for i in range(8))
+    vals = ", ".join(f"v{i}" for i in range(8))
+    return f"""
+WITH hashed AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         sha256(text) AS h
+  FROM documents
+), vecs AS (
+  SELECT media_id, kind, {', '.join(vs)} FROM hashed
+), normed AS (
+  SELECT media_id, kind, list_value({vals}) AS v, sqrt({norm}) AS nrm FROM vecs
+)
+SELECT media_id, kind, CAST(d.i AS INT) AS dim,
+       round(CAST(CAST(v[d.i + 1] / nrm AS FLOAT) AS DOUBLE), 4) AS value
+FROM normed, (SELECT unnest(generate_series(0, 7)) AS i) d
+"""
+
+
+@register("media_features", _media_feature_sql())
 def q_media_features(spark, sf):
+    """Deterministic stub features as a per-dim scalar projection with a
+    FULL value-hash oracle: the sha256 derivation is replayed in DuckDB
+    (same IEEE double association, float32 cast last), so the driver
+    checks rows+schema+hash instead of the former rows-only record."""
     from .operators.multimodal import extract_features, media_from_docs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return extract_features(media_from_docs(docs))
+    feats = extract_features(media_from_docs(docs))
+    return feats.select(
+        "media_id", "kind", F.posexplode("features").alias("dim", "f")
+    ).select(
+        "media_id",
+        "kind",
+        "dim",
+        F.round(F.col("f").cast("double"), 4).alias("value"),
+    )
 
 
 @register(

@@ -170,3 +170,20 @@ def test_native_parse_prefix_match_ignores_trailing_garbage(spark):
     a["query_params"] = dict(a["query_params"]); b["query_params"] = dict(b["query_params"])
     assert a == b
     assert a["cache_status"] == "hit"
+
+def test_native_parse_sentinel_injection_is_nulled(spark):
+    """ADVICE r2: a raw line containing the \\x01 slot separator must not
+    fake the slot count into garbage fields — it is treated as malformed
+    (all-null fields, raw_line preserved), even when the rest of the line
+    would otherwise match the full pattern."""
+    from python_fastly_log_query_spark.operators.parse import parse_logs_native
+
+    good = ('<134>2025-11-01T10:00:00Z cache-sjc s3logsprod[4242]: 10.1.2.3 '
+            '"-" "-" - "GET /api/x?page=1" 200 512 "-" "curl/8.4.0" hit')
+    evil = good.replace("curl/8.4.0", "curl\x018.4.0\x01x\x01y")
+    df = spark.createDataFrame([(good,), (evil,)], "text string")
+    rows = {r["raw_line"]: r.asDict() for r in parse_logs_native(df, "text").collect()}
+    assert rows[good]["status_code"] == 200
+    bad = rows[evil]
+    bad.pop("raw_line")
+    assert all(v is None for v in bad.values())

@@ -190,3 +190,14 @@ def test_crash_between_sink_and_commit_is_idempotent(spark, tmp_path):
     assert s["processed_units"] == 1  # only the uncommitted unit re-ran
     assert ck.read_output(spark, out).count() == 10  # no duplicates
     assert len(ck.completed_units(out)) == 2
+
+
+def test_list_log_files_remote_scheme_dispatch():
+    """Object-store URIs must bypass the local glob (no driver-side
+    listing) and come back as Hadoop glob patterns the scan expands
+    cluster-side; local paths keep the sorted-glob contract."""
+    for scheme in ("s3a://bucket/logs", "s3://b/x", "gs://b/x",
+                   "abfss://c@a.dfs.core.windows.net/logs", "hdfs://nn/logs"):
+        pats = list_log_files(scheme + "/")
+        assert pats == [f"{scheme}/**/*.log", f"{scheme}/**/*.log.gz"]
+    assert list_log_files("/definitely/missing/dir") == []
