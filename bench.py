@@ -77,13 +77,41 @@ STANDALONE_QUERIES = [
     "simhash_neardup_pairs",
     "embedding_lsh_topk",
     "embedding_neardup_banded",
+    "embedding_neardup_banded_auto",
 ]
+
+# Measurement protocol id, recorded in the output JSON (ADVICE r2): deltas
+# vs prior rounds are only emitted when the protocols match, so protocol
+# changes never masquerade as engine changes.
+#   v3: EVERY timed entry (agg section included — round 2 timed it
+#   single-run after warm-ups had leaked persisted frames, inflating five
+#   entries 6-24x over clean-JVM steady state) is best-of-3 noop-sink
+#   runs; before each run all selfjoin_ready persists are released and a
+#   JVM System.gc() drains garbage accumulated by PRIOR queries, so no
+#   entry is charged for another query's heap debris or for a stray
+#   multi-second GC/straggler draw (this box carries external background
+#   load; single draws were measured to swing individual queries 3-10x
+#   while an isolated session shows 0.4-1.3s steady state for the same
+#   code).
+PROTOCOL = "v3_best_of_3_noop_gc_release_persists"
 
 
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return round(time.perf_counter() - t0, 4)
+
+
+def timed2(spark, fn) -> float:
+    """Best-of-3 steady state (see PROTOCOL)."""
+    from python_fastly_log_query_spark.operators.dedup import release_persists
+
+    def once() -> float:
+        release_persists()
+        spark._jvm.System.gc()
+        return timed(fn)
+
+    return min(once(), once(), once())
 
 
 def main() -> None:
@@ -107,6 +135,11 @@ def main() -> None:
         qmap[warm_q](spark, "/root/testdata/sf0.001").write.mode(
             "overwrite"
         ).format("noop").save()
+    # the warm-up queries persist their exploded self-join frames; release
+    # them so warm-up lineage never leaks into the timed section
+    from python_fastly_log_query_spark.operators.dedup import release_persists
+
+    release_persists()
 
     # ---- flagship: full parse -> enrich -> route -> hourly rollup ----
     n_rows = oc.events_df(spark, SF_DIR).count()
@@ -178,27 +211,74 @@ def main() -> None:
     }
     for name in AGG_QUERIES:
         fn = agg_fns[name]
-        timings[name] = timed(lambda fn=fn: fn(parsed).collect())
+        timings[name] = timed2(spark, lambda fn=fn: fn(parsed).collect())
 
     for name in STANDALONE_QUERIES:
         fn = qmap[name]
         # noop sink: full compute, no driver-side row transfer (pair
         # generators can emit 10^6 rows at sf0.1 — collecting them would
-        # measure py4j serialization, not the engine).  best-of-2: the
-        # first full-size evaluation of an interpreted-HOF pipeline can
-        # draw a 10-50s JIT-recompile/GC outlier on this box while its
-        # immediate rerun takes 1-2s; the steady state is the metric.
-        run = lambda fn=fn: (
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        # measure py4j serialization, not the engine).
+        timings[name] = timed2(
+            spark,
+            lambda fn=fn: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save(),
         )
-        timings[name] = min(timed(run), timed(run))
 
+    # production-width simhash (VERDICT r2 item 6): 64-bit signatures,
+    # 3-block pigeonhole at max_hamming=2 — the 10^12-doc configuration,
+    # timed at sf0.1 with block-key occupancy recorded to stderr
+    from python_fastly_log_query_spark.operators.dedup import (
+        simhash_docs, simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timings["simhash_neardup_pairs_w64"] = timed2(
+        spark,
+        lambda: simhash_neardup_pairs(docs, bits=64, max_hamming=2)
+        .write.mode("overwrite").format("noop").save(),
+    )
+    from python_fastly_log_query_spark.operators.dedup import simhash_blocks
+
+    s64 = simhash_docs(docs, 64)
+    occ = (
+        s64.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("simhash", sh).bitwiseAND(F.lit((1 << w) - 1))
+                        for (sh, w) in simhash_blocks(64, 3)
+                    ]
+                )
+            ).alias("block", "key")
+        )
+        .groupBy("block", "key")
+        .count()
+        .agg(
+            F.max("count").alias("max_occ"),
+            F.avg("count").alias("avg_occ"),
+            F.count(F.lit(1)).alias("occupied_keys"),
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "simhash64_block_occupancy",
+                "max_block_key_group": occ["max_occ"],
+                "avg_block_key_group": round(occ["avg_occ"], 2),
+                "occupied_block_keys": occ["occupied_keys"],
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    release_persists()
     parsed.unpersist()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "protocol": PROTOCOL,
         "queries": timings,
         "sf": SF_DIR,
         "rows": n_rows,
@@ -214,14 +294,26 @@ def main() -> None:
 
 def _deltas_vs_prior_round(timings: dict[str, float]) -> dict | None:
     """Per-query deltas vs the newest BENCH_r*.json (stderr side channel —
-    stdout stays the one-JSON-line driver contract)."""
+    stdout stays the one-JSON-line driver contract).  Deltas are only
+    computed when the prior record used the SAME measurement protocol
+    (ADVICE r2: cross-protocol deltas conflate protocol change with
+    engine change); otherwise the mismatch is annotated instead."""
     import glob
 
     prior = sorted(glob.glob("/root/repo/BENCH_r*.json"))
     if not prior:
         return None
     with open(prior[-1]) as f:
-        old = json.load(f).get("queries", {})
+        rec = json.load(f)
+    old = rec.get("queries", {})
+    if rec.get("protocol") != PROTOCOL:
+        return {
+            "baseline_file": prior[-1],
+            "cross_protocol": True,
+            "prior_protocol": rec.get("protocol"),
+            "current_protocol": PROTOCOL,
+            "note": "no per-query deltas: measurement protocols differ",
+        }
     changes = {
         k: {"prev": old[k], "now": v, "delta_pct": round((v - old[k]) / old[k] * 100, 1)}
         for k, v in timings.items()
