@@ -1512,6 +1512,53 @@ def q_embedding_neardup_banded_auto(spark, sf):
     return banded_neardup_pairs(emb, 0.45, None, None, _DIM, target_recall=0.999)
 
 
+@register(
+    "streaming_hourly_rollup",
+    L
+    + """
+SELECT CAST(date_trunc('hour', ts_s) AS TIMESTAMP) AS hour,
+       status_code, count(*) AS requests
+FROM logs
+WHERE ts_s IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_streaming_hourly_rollup(spark, sf):
+    """Structured Streaming end-to-end with a FULL batch oracle (SURVEY
+    §2.9): the oracle corpus is landed as a parquet table directory, read
+    back as a file STREAM (the north rule's table-source shape), grok-
+    parsed by the same pandas-UDF parser, aggregated by the watermarked
+    tumbling-window rollup, and drained exactly-once with
+    Trigger.AvailableNow into a memory sink.  The drained result must
+    equal the plain batch GROUP BY — the DuckDB oracle — proving the
+    streaming operators compute the same answer as the batch engine on
+    the same data (complete output mode, so the final state is
+    batching-invariant).  Fresh checkpoint + source land per call: the
+    exactly-once contract would otherwise skip reprocessing on re-runs.
+    """
+    import shutil
+    import uuid
+
+    from . import oracle_corpus as oc
+    from .streaming.jobs import hourly_rollup, run_available_now, stream_parse_docs
+
+    shutil.rmtree("/root/repo/_work/stream_q", ignore_errors=True)  # stale runs
+    run_id = uuid.uuid4().hex[:12]
+    work = f"/root/repo/_work/stream_q/{run_id}"
+    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["timestamp", "status_code"],
+        schema="event_id long, text string",
+    )
+    name = f"rollup_{run_id}"
+    run_available_now(
+        hourly_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
+    )
+    return spark.table(name)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
