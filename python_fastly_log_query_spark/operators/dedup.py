@@ -152,6 +152,65 @@ def minhash_signatures(
     return ab.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_params(
+    threshold: float,
+    target_recall: float = 0.95,
+    fp_sim: float | None = None,
+    fp_budget: float = 0.2,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Size ``(num_hashes, bands)`` for MinHash-LSH banding from the
+    Jaccard threshold — the MinHash twin of similarity.banded_params.
+
+    A pair at Jaccard s collides in a band of r rows with s^r; recall
+    over b bands is 1 - (1-s^r)^b (S-curve midpoint t ~ (1/b)^(1/r)).
+    Unlike hyperplane banding there is NO 2^r bucket ceiling to size
+    against N: band keys are md5 digests of signature slices, so bucket
+    count tracks the number of DISTINCT slices and a random pair
+    (background Jaccard ~ 0 for web text) collides with probability
+    ~ s_rand^r ~ 0.  r therefore buys PRECISION near the threshold and b
+    buys recall; the cost of a configuration is its signature width r*b
+    (minhash evaluations per doc and rows in the banding shuffle).
+
+    Selection, in strict preference order:
+    1. narrowest signature meeting ``target_recall`` at ``threshold``
+       with false-positive rate at ``fp_sim`` (default 0.6*threshold)
+       within ``fp_budget``;
+    2. if the fp budget is unreachable within ``max_bands`` (intrinsic
+       for LOW thresholds — selectivity collapses as threshold drops,
+       same phenomenon as cosine banding), the recall-meeting config with
+       the LOWEST fp rate;
+    3. if no config meets recall within ``max_bands``, the max-recall one.
+    NOTE the giant-cluster guard (:func:`neardup_pipeline`) is
+    orthogonal: exact-duplicate clusters must still be collapsed first,
+    whatever (r, b) says.
+    """
+    import math
+
+    fp_sim = 0.6 * threshold if fp_sim is None else fp_sim
+    best = None
+    for r in range(2, 17):
+        pr = threshold**r
+        need = (
+            1
+            if pr >= 1.0
+            else math.ceil(math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - pr))
+        )
+        feasible = need <= max_bands
+        b = min(need, max_bands)
+        recall = 1.0 - (1.0 - pr) ** b
+        fp = 1.0 - (1.0 - fp_sim**r) ** b
+        if feasible and fp <= fp_budget:
+            key = (2, -(r * b))  # tier 1: narrowest
+        elif feasible:
+            key = (1, -fp, -(r * b))  # tier 2: lowest fp
+        else:
+            key = (0, recall, -(r * b))  # tier 3: max recall
+        if best is None or key > best[0]:
+            best = (key, r * b, b)
+    return best[1], best[2]
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -162,7 +221,8 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: docs sharing >=1 band bucket.
 
     band key = md5 of the band's minhash slice; one shuffle on
-    (band, key); output (doc_a < doc_b) distinct.
+    (band, key); output (doc_a < doc_b) distinct.  Size (num_hashes,
+    bands) for a target threshold/recall with :func:`minhash_params`.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, id_col, text_col)

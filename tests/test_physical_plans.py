@@ -300,3 +300,52 @@ def test_banded_auto_sizing_recall_and_params(spark):
             for r in banded_neardup_pairs(emb, 0.45, target_recall=0.999).collect()
         }
         assert got == brute, sf
+
+
+def test_exact_cosine_pairs_modes_agree(spark):
+    """The broadcast-gather verify (codebook-sized inputs) and the
+    embedding-join verify (the beyond-memory path) must produce identical
+    rounded cosines for the same candidate pairs."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        exact_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = spark.range(200).select(
+        (F.col("id") % 97).alias("vec_a"), ((F.col("id") * 13 + 1) % 499).alias("vec_b")
+    )
+
+    def rows(mode):
+        df = exact_cosine_pairs(pairs, emb, mode=mode)
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in df.select(
+                "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+            ).collect()
+        )
+
+    b, j = rows("broadcast"), rows("join")
+    assert len(b) == 200
+    assert b == j
+
+
+def test_minhash_params_scurve_contract():
+    """minhash_params must hit the recall target at the threshold; where
+    the fp budget is reachable (thresholds >= ~0.7) it must be met, and
+    at low thresholds the fallback minimizes fp instead of giving up.
+    Tighter recall targets demand wider signatures."""
+    from python_fastly_log_query_spark.operators.dedup import minhash_params
+
+    for threshold in (0.5, 0.7, 0.9):
+        nh, b = minhash_params(threshold, target_recall=0.95)
+        r = nh // b
+        recall = 1 - (1 - threshold**r) ** b
+        fp = 1 - (1 - (0.6 * threshold) ** r) ** b
+        assert recall >= 0.95, (threshold, nh, b)
+        if threshold >= 0.7:
+            assert fp <= 0.2, (threshold, nh, b)
+        else:
+            assert fp <= 0.35, (threshold, nh, b)  # tier-2 min-fp fallback
+    loose, _ = minhash_params(0.8, target_recall=0.9)
+    tight, _ = minhash_params(0.8, target_recall=0.999)
+    assert tight >= loose
