@@ -76,6 +76,7 @@ STANDALONE_QUERIES = [
     "dedup_lsh_verified",
     "simhash_neardup_pairs",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "embedding_neardup_banded",
     "embedding_neardup_banded_auto",
 ]

@@ -1559,6 +1559,111 @@ def q_streaming_hourly_rollup(spark, sf):
     return spark.table(name)
 
 
+@register(
+    "streaming_exact_dedup",
+    "SELECT CAST(count(DISTINCT text) AS BIGINT) AS unique_docs FROM documents",
+)
+def q_streaming_exact_dedup(spark, sf):
+    """Dedup at INGESTION: the documents table is streamed and exact
+    duplicates are dropped with Spark's stateful streaming
+    ``dropDuplicates`` on the md5 fingerprint (the state store holds seen
+    fingerprints across micro-batches), drained exactly-once with
+    AvailableNow.  The surviving-row count must equal the batch
+    count-distinct — the 10^12-scale shape where dedup happens as data
+    lands instead of as a nightly batch sweep."""
+    import shutil
+    import uuid
+
+    from .streaming.jobs import run_available_now, stream_docs
+
+    shutil.rmtree("/root/repo/_work/stream_dedup", ignore_errors=True)
+    run_id = uuid.uuid4().hex[:12]
+    work = f"/root/repo/_work/stream_dedup/{run_id}"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{work}/src")
+    deduped = (
+        stream_docs(spark, f"{work}/src")
+        .withColumn("fp", F.md5("text"))
+        .dropDuplicates(["fp"])
+    )
+    name = f"dedup_{run_id}"
+    run_available_now(
+        deduped.select("fp"), f"{work}/ckpt", queryName=name, outputMode="append"
+    )
+    return spark.table(name).agg(F.count(F.lit(1)).alias("unique_docs"))
+
+
+@register(
+    "training_corpus_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, md5(text) AS fp,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok,
+         {_stop_hits_sql()} AS stop_hits,
+         length(text) AS nch,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean
+  FROM documents
+), reps AS (
+  SELECT * FROM t WHERE doc_id IN (SELECT min(doc_id) FROM t GROUP BY fp)
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN stop_hits >= 2 THEN 'en' ELSE 'und' END AS pred_lang,
+         round(0.4 * least(1.0, nch / 500.0)
+             + 0.4 * least(1.0, stop_hits / ntok * 5)
+             + 0.2 * (1.0 - (nch - nclean) / nch), 4) AS quality,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM reps
+)
+SELECT pred_lang, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM scored
+WHERE quality >= 0.5
+GROUP BY 1
+""",
+)
+def q_training_corpus_stats(spark, sf):
+    """The composed training-data prep pipeline (driver brief): exact
+    dedup (keep min doc_id per md5) → language ID → quality score →
+    quality floor → per-language corpus stats.  One query proving the
+    doc operators COMPOSE; aggregates are integer sums / order statistics
+    only (no floating-point reduction), so the cross-engine hash is
+    association-independent."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    text = F.col("text")
+    t = docs.withColumn("fp", F.md5("text"))
+    reps = t.join(
+        t.groupBy("fp").agg(F.min("doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    ntok = F.size(F.split(text, r"\s+")).cast("double")
+    stop_hits = _stop_hits_spark(text)
+    nch = F.length(text)
+    nclean = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), nch / 500.0)
+        + 0.4 * F.least(F.lit(1.0), stop_hits / ntok * 5)
+        + 0.2 * (1.0 - (nch - nclean) / nch),
+        4,
+    )
+    scored = reps.select(
+        F.when(stop_hits >= 2, "en").otherwise("und").alias("pred_lang"),
+        quality.alias("quality"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        scored.filter(F.col("quality") >= 0.5)
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -280,6 +280,14 @@ def test_banded_auto_sizing_recall_and_params(spark):
     assert r500 <= r2k <= r1m
     assert r1m >= 10  # 10^6 rows at a high threshold: deep pruning
 
+    # the auto path's candidate join is a pure (band, key) equi-join over
+    # the NARROW keyed frame — never a nested loop, and no embedding
+    # payload rides the self-join
+    emb_small = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    plan = _plan(banded_neardup_pairs(emb_small, 0.45, target_recall=0.999))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
     for sf in (SF_SMALL, SF_ORACLE):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         a, b = emb.alias("a"), emb.alias("b")
