@@ -77,6 +77,7 @@ STANDALONE_QUERIES = [
     "simhash_neardup_pairs",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "embedding_pq_topk",
     "embedding_neardup_banded",
     "embedding_neardup_banded_auto",
 ]

@@ -497,3 +497,126 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round("c", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+# Product quantization: split the vector into PQ_SUBS subspaces and store
+# one centroid id per subspace — 64 float32s become 8 single-byte codes
+# (32x memory compression), the classic IVF-PQ payload layout for
+# 10^12-vector indexes.  Codebook is deterministic like ivf_assign's: the
+# subvectors of the first n_cents stored vectors (swap in trained
+# centroids at deploy time; everything downstream is unchanged).
+
+PQ_SUBS = 8
+
+
+def pq_centroids(emb: DataFrame, n_cents: int = 16, id_col: str = "vec_id") -> DataFrame:
+    return emb.filter(F.col(id_col) < n_cents).select(
+        F.col(id_col).alias("cent_id"), F.col("embedding").alias("_ce")
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sub, code) per vector: code = argmin-L2 centroid of the
+    subvector, ties to the lowest centroid id.  One numpy distance
+    computation per Arrow batch (shuffle-free per-partition map); the
+    DuckDB oracle recomputes the same argmin relationally."""
+    import numpy as np
+    import pandas as pd
+
+    sw = dim // n_subs
+    cents_pdf = (
+        pq_centroids(emb, n_cents, id_col).orderBy("cent_id").toPandas()
+    )
+    c = np.stack(cents_pdf["_ce"].to_numpy()).astype(np.float64).reshape(
+        n_cents, n_subs, sw
+    )
+    bc = emb.sparkSession.sparkContext.broadcast(c)
+
+    def _iter(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64).reshape(
+                len(pdf), n_subs, sw
+            )
+            # (B, n_cents, n_subs): squared L2 per subspace; argmin takes
+            # the FIRST minimum = lowest centroid id (tie rule)
+            diff = x[:, None, :, :] - cents[None, :, :, :]
+            d = (diff * diff).sum(-1)
+            codes = d.argmin(axis=1)  # (B, n_subs)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(np.int64), n_subs),
+                    "sub": np.tile(np.arange(n_subs, dtype=np.int32), len(pdf)),
+                    "code": codes.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        _iter, schema=f"{id_col} long, sub int, code int"
+    )
+
+
+def _sub_sqdist(a: F.Column, b: F.Column, sub: F.Column, sw: int) -> F.Column:
+    """Left-associated squared L2 between the ``sub``-th width-``sw``
+    slices of two array columns — the SAME association the SQL oracle
+    uses, so Spark and DuckDB agree bitwise."""
+    acc = None
+    for i in range(sw):
+        idx = sub * sw + F.lit(i + 1)
+        t = F.element_at(a, idx).cast("double") - F.element_at(b, idx).cast("double")
+        term = t * t
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision, the corpus is its 8-byte codes.
+
+    Plan shape for 10^12 rows: the (sub, cent) -> query-distance table is
+    n_subs*n_cents rows (128 here) computed once and BROADCAST; ranking
+    is one broadcast hash join from the codes table plus a partial-agg
+    sum — the corpus's float vectors are never read at query time.
+    Ordering uses the ROUNDED distance with an id tie-break so ranking
+    is stable across engines."""
+    sw = dim // n_subs
+    codes = pq_codes(emb, n_subs, n_cents, dim, id_col)
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("_qe")
+    )
+    subs = emb.sparkSession.range(n_subs).select(F.col("id").cast("int").alias("sub"))
+    dist_table = (
+        pq_centroids(emb, n_cents, id_col)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "sub",
+            F.col("cent_id").alias("code"),
+            _sub_sqdist(F.col("_qe"), F.col("_ce"), F.col("sub"), sw).alias("_qd"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(dist_table), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_qd"), 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

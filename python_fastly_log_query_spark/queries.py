@@ -1559,6 +1559,80 @@ def q_streaming_hourly_rollup(spark, sf):
     return spark.table(name)
 
 
+def _pq_sqdist_sql(a: str, b: str, sw: int = 8) -> str:
+    """Left-associated squared L2 of the s.sub-th width-``sw`` slices —
+    the exact association similarity._sub_sqdist uses, elements cast to
+    DOUBLE before subtracting (embedding elements are float32)."""
+    return " + ".join(
+        f"(CAST({a}[{sw}*s.sub + {i + 1}] AS DOUBLE) - CAST({b}[{sw}*s.sub + {i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{sw}*s.sub + {i + 1}] AS DOUBLE) - CAST({b}[{sw}*s.sub + {i + 1}] AS DOUBLE))"
+        for i in range(sw)
+    )
+
+
+_PQ_CODES_CTE = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+expl AS (
+  SELECT e.vec_id, s.sub, c.cent_id, {_pq_sqdist_sql('e.embedding', 'c.ce')} AS d
+  FROM embeddings e, subs s, cents c
+),
+ranked AS (
+  SELECT vec_id, sub, cent_id,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rk
+  FROM expl
+),
+codes AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code
+  FROM ranked WHERE rk = 1
+)
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    _PQ_CODES_CTE + "SELECT vec_id, sub, code FROM codes",
+)
+def q_embedding_pq_codes(spark, sf):
+    """Product-quantization codes (similarity.py:pq_codes): 64 float32s
+    compress to 8 centroid ids — 32x smaller, the storage layout a
+    10^12-vector ANN index actually ships.  Deterministic codebook (first
+    16 stored vectors), argmin ties to the lowest centroid id; the DuckDB
+    oracle recomputes the argmin relationally."""
+    from .operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return pq_codes(emb)
+
+
+@register(
+    "embedding_pq_topk",
+    _PQ_CODES_CTE
+    + f""",
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dist AS (
+  SELECT s.sub, CAST(c.cent_id AS INT) AS code, {_pq_sqdist_sql('q.qe', 'c.ce')} AS qd
+  FROM cents c, subs s, q
+)
+SELECT codes.vec_id, round(sum(qd), 4) AS adc
+FROM codes JOIN dist ON codes.sub = dist.sub AND codes.code = dist.code
+GROUP BY 1 ORDER BY adc ASC, vec_id ASC LIMIT 10
+""",
+)
+def q_embedding_pq_topk(spark, sf):
+    """ADC top-k over PQ codes (similarity.py:pq_adc_topk): the query
+    stays full-precision, the corpus is its codes; the 128-row
+    (sub, centroid) -> distance table is broadcast and ranking never
+    touches the corpus's float vectors.  The per-subspace distance uses
+    the same left-associated double arithmetic as the SQL oracle, and
+    ordering is on the ROUNDED distance with an id tie-break, so the
+    ranking is stable across engines."""
+    from .operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return pq_adc_topk(emb, 0, 10)
+
+
 @register(
     "streaming_exact_dedup",
     "SELECT CAST(count(DISTINCT text) AS BIGINT) AS unique_docs FROM documents",

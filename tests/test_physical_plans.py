@@ -357,3 +357,30 @@ def test_minhash_params_scurve_contract():
     loose, _ = minhash_params(0.8, target_recall=0.9)
     tight, _ = minhash_params(0.8, target_recall=0.999)
     assert tight >= loose
+
+
+def test_pq_codes_invariants(spark):
+    """PQ contract: every vector yields one code per subspace in
+    [0, n_cents); each CODEBOOK vector's subvectors are distance-0 to
+    themselves, so the codebook encodes to its own ids (tie rule: lowest
+    centroid wins, and a centroid always ties itself at 0)."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        PQ_SUBS, pq_adc_topk, pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    n = emb.count()
+    codes = pq_codes(emb).collect()
+    assert len(codes) == n * PQ_SUBS
+    assert all(0 <= r["code"] < 16 for r in codes)
+    own = {(r["vec_id"], r["sub"]): r["code"] for r in codes if r["vec_id"] < 16}
+    mismatched = {k: v for k, v in own.items() if v not in (k[0],) and v > k[0]}
+    # a centroid may tie with a LOWER centroid sharing the subvector, but
+    # can never code to a higher id than itself
+    assert not mismatched, mismatched
+
+    # ADC self-query: the query vector's own reconstruction distance is
+    # minimal among the codebook-identical vectors — its id must appear
+    # in its own top-k
+    top = [r["vec_id"] for r in pq_adc_topk(emb, 0, 10).collect()]
+    assert 0 in top
