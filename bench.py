@@ -11,8 +11,9 @@ parsed DataFrame (SURVEY.md §3.2 — the reference re-materializes pandas
 frames per analyze fn; we don't).  So the bench times:
 
 - ``pipeline``  — the flagship parse→enrich→route→aggregate job end to end
-  (cold, includes the pandas-UDF grok parse);
-- ``parse_cache`` — materializing the shared parsed DataFrame once;
+  (best-of-3 like every entry; includes the pandas-UDF grok parse);
+- ``parse_cache`` — materializing the shared parsed DataFrame once
+  (single-run by nature: a rerun would count the already-cached frame);
 - each aggregate query over the cached parsed frame (what a dashboard
   refresh costs);
 - document/embedding ops over their own tables.
@@ -163,7 +164,7 @@ def main() -> None:
             .save()
         )
 
-    timings["pipeline"] = timed(flagship)
+    timings["pipeline"] = timed2(spark, flagship)
 
     # same flagship through the JVM-only one-pass regex parser (no Python
     # workers) — the clean-input scale path
@@ -187,11 +188,19 @@ def main() -> None:
             .save()
         )
 
-    timings["pipeline_native"] = timed(flagship_native)
+    timings["pipeline_native"] = timed2(spark, flagship_native)
 
     # ---- shared parsed frame (the §3.2 single-scan architecture) ----
     parsed = oc.parsed_events(spark, SF_DIR).cache()
-    timings["parse_cache"] = timed(parsed.count)
+
+    def materialize_cache():
+        # each rep re-materializes from scratch; the final rep leaves the
+        # frame cached for the aggregate section below
+        parsed.unpersist(blocking=True)
+        parsed.persist()
+        parsed.count()
+
+    timings["parse_cache"] = timed2(spark, materialize_cache)
 
     agg_fns = {
         "requests_per_hour": agg.requests_per_hour,
