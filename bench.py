@@ -79,6 +79,7 @@ STANDALONE_QUERIES = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "embedding_pq_topk",
+    "embedding_ivf_pq_topk",
     "embedding_neardup_banded",
     "embedding_neardup_banded_auto",
 ]

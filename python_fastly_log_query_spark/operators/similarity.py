@@ -620,3 +620,65 @@ def pq_adc_topk(
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the production trillion-vector ANN layout — coarse cells
+    prune the scan, PQ codes replace the float vectors, ADC ranks.
+
+    Query-time plan at 10^12 rows: ``cell`` is the table's partition key,
+    so the scan touches nprobe/n_cells of the CODES table (8 bytes/row,
+    not 256); the (sub, centroid) -> distance table (n_subs * n_cents
+    rows) is broadcast; ranking is one broadcast semi-join (probed cells)
+    + one broadcast hash join (distance table) + a partial-agg sum.  The
+    corpus float vectors are read only at index-build time.
+    """
+    sw = dim // n_subs
+    assign = ivf_assign(emb, n_cells, id_col)
+    codes = pq_codes(emb, n_subs, n_cents, dim, id_col)
+    q = assign.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
+    )
+    cents = assign.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col("embedding").alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    qcs = dot(F.col("qe"), F.col("_ce")) / (F.col("_qn") * F.col("_cn"))
+    probe_cells = (
+        cents.join(F.broadcast(q))
+        .select("cell", qcs.alias("_qcs"))
+        .orderBy(F.desc("_qcs"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    in_cells = assign.join(F.broadcast(probe_cells), "cell").select(id_col)
+    subs = emb.sparkSession.range(n_subs).select(F.col("id").cast("int").alias("sub"))
+    dist_table = (
+        pq_centroids(emb, n_cents, id_col)
+        .crossJoin(F.broadcast(q.select("qe")))
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "sub",
+            F.col("cent_id").alias("code"),
+            _sub_sqdist(F.col("qe"), F.col("_ce"), F.col("sub"), sw).alias("_qd"),
+        )
+    )
+    return (
+        codes.join(in_cells, id_col, "left_semi")
+        .join(F.broadcast(dist_table), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_qd"), 4).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1634,6 +1634,59 @@ def q_embedding_pq_topk(spark, sf):
 
 
 @register(
+    "embedding_ivf_pq_topk",
+    f"""
+WITH base AS (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(embedding, embedding)) AS nrm
+              FROM embeddings),
+icents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < {_IVF_CELLS}),
+scored AS (SELECT b.vec_id, b.nrm, c.cell,
+                  list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
+           FROM base b CROSS JOIN icents c),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = 0),
+probe AS (SELECT cell FROM icents, q
+          ORDER BY list_dot_product(ce, qe) / (cn * qn) DESC, cell ASC LIMIT {_IVF_NPROBE}),
+pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM embeddings WHERE vec_id < 16),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+expl AS (
+  SELECT e.vec_id, s.sub, c.cent_id, {_pq_sqdist_sql('e.embedding', 'c.pce')} AS d
+  FROM embeddings e, subs s, pcents c
+),
+codes AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code FROM (
+    SELECT vec_id, sub, cent_id,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rk
+    FROM expl) WHERE rk = 1
+),
+dist AS (
+  SELECT s.sub, CAST(c.cent_id AS INT) AS code, {_pq_sqdist_sql('q.qe', 'c.pce')} AS qd
+  FROM pcents c, subs s, q
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell)
+SELECT codes.vec_id AS vec_id, round(sum(qd), 4) AS adc
+FROM codes JOIN cand ON codes.vec_id = cand.vec_id
+JOIN dist ON codes.sub = dist.sub AND codes.code = dist.code
+GROUP BY 1 ORDER BY adc ASC, codes.vec_id ASC LIMIT 10
+""",
+)
+def q_embedding_ivf_pq_topk(spark, sf):
+    """IVF-PQ composed ANN (similarity.py:ivf_pq_topk) — the production
+    trillion-vector layout: IVF cells prune the scan to nprobe/n_cells
+    of the CODES table (8 bytes/vector), the broadcast 128-row distance
+    table ranks by ADC, and corpus float vectors are read only at
+    index-build time.  Oracle composes the IVF assignment and PQ code
+    derivations relationally."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_pq_topk(emb, 0, 10, _IVF_CELLS, _IVF_NPROBE)
+
+
+@register(
     "streaming_exact_dedup",
     "SELECT CAST(count(DISTINCT text) AS BIGINT) AS unique_docs FROM documents",
 )

@@ -384,3 +384,19 @@ def test_pq_codes_invariants(spark):
     # in its own top-k
     top = [r["vec_id"] for r in pq_adc_topk(emb, 0, 10).collect()]
     assert 0 in top
+
+
+def test_ivf_pq_full_probe_equals_pq(spark):
+    """IVF-PQ recall contract (mirrors the IVF test): probing ALL cells
+    must reproduce the plain PQ ADC ranking — the coarse quantizer only
+    prunes, never re-ranks."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        ivf_pq_topk, pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    full = [(r["vec_id"], r["adc"]) for r in ivf_pq_topk(emb, 0, 10, n_cells=8, nprobe=8).collect()]
+    plain = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(emb, 0, 10).collect()]
+    assert full == plain
+    narrow = [(r["vec_id"], r["adc"]) for r in ivf_pq_topk(emb, 0, 10, n_cells=8, nprobe=2).collect()]
+    assert narrow == sorted(narrow, key=lambda t: (t[1], t[0]))
