@@ -1687,6 +1687,78 @@ def q_embedding_ivf_pq_topk(spark, sf):
 
 
 @register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark, sf):
+    """TPC-H-Q1-shaped pricing rollup over the fact table: a pushed-down
+    date filter and a two-phase (partial + final) hash aggregate — the
+    canonical fleet-scale scan-heavy aggregation.  Sums rounded to 2
+    decimals so the cross-engine hash tolerates reduction-order ulps."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "segment_revenue_topn",
+    """
+SELECT l_orderkey AS orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, orderkey ASC LIMIT 10
+""",
+)
+def q_segment_revenue_topn(spark, sf):
+    """TPC-H-Q3-shaped multi-way join: dimension-filtered customer joined
+    through orders into lineitem, revenue rollup, top-N.  At fleet scale
+    the customer side broadcasts (dimension-sized after the segment
+    filter) and orders⋈lineitem is a shuffle hash join on the order key
+    with AQE sizing the exchanges; ordering is on the ROUNDED revenue
+    with an orderkey tie-break so ranking is stable across engines."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "streaming_exact_dedup",
     "SELECT CAST(count(DISTINCT text) AS BIGINT) AS unique_docs FROM documents",
 )
