@@ -1759,6 +1759,77 @@ def q_segment_revenue_topn(spark, sf):
 
 
 @register(
+    "ip_sessions",
+    L
+    + """
+, ordered AS (
+  SELECT ip_address, ts_s, event_id,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY ip_address ORDER BY ts_s, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts_s) OVER (PARTITION BY ip_address ORDER BY ts_s, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM logs
+), sessioned AS (
+  SELECT ip_address, ts_s,
+         sum(new_session) OVER (PARTITION BY ip_address ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), per_session AS (
+  SELECT ip_address, session_id, count(*) AS hits,
+         date_diff('second', min(ts_s), max(ts_s)) AS span_sec
+  FROM sessioned GROUP BY 1, 2
+)
+SELECT ip_address, CAST(count(*) AS BIGINT) AS sessions,
+       CAST(max(hits) AS BIGINT) AS max_hits,
+       CAST(max(span_sec) AS BIGINT) AS max_span_sec
+FROM per_session GROUP BY 1
+ORDER BY sessions DESC, ip_address ASC LIMIT 20
+""",
+)
+def q_ip_sessions(spark, sf):
+    """Gap-based sessionization (SURVEY §2.8 depth): a new session starts
+    when an IP is idle > 30 minutes — lag + running sum assigns session
+    ids, then two rollups produce per-IP session stats.  At fleet scale
+    both windows and the first rollup share ONE shuffle keyed by
+    ip_address (the window partition key), and the tie-break on event_id
+    makes session assignment deterministic under equal timestamps."""
+    from pyspark.sql.window import Window
+
+    p = _parsed(spark, sf)
+    w = Window.partitionBy("ip_address").orderBy("timestamp", "event_id")
+    prev = F.lag("timestamp").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("timestamp").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    ws = (
+        Window.partitionBy("ip_address")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = p.select(
+        "ip_address", "timestamp", "event_id", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(ws))
+    per_session = sessioned.groupBy("ip_address", "session_id").agg(
+        F.count(F.lit(1)).alias("hits"),
+        (
+            F.max("timestamp").cast("long") - F.min("timestamp").cast("long")
+        ).alias("span_sec"),
+    )
+    return (
+        per_session.groupBy("ip_address")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.max("hits").alias("max_hits"),
+            F.max("span_sec").alias("max_span_sec"),
+        )
+        .orderBy(F.desc("sessions"), F.asc("ip_address"))
+        .limit(20)
+    )
+
+
+@register(
     "streaming_exact_dedup",
     "SELECT CAST(count(DISTINCT text) AS BIGINT) AS unique_docs FROM documents",
 )
