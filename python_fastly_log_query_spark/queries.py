@@ -1759,6 +1759,49 @@ def q_segment_revenue_topn(spark, sf):
 
 
 @register(
+    "repetition_scores",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_unigram_ratio,
+       round(CASE WHEN len(toks) < 2 THEN 1.0
+                  ELSE CAST(len(list_distinct(
+                         list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                       )) AS DOUBLE) / (len(toks) - 1) END, 4) AS uniq_bigram_ratio
+FROM t
+""",
+)
+def q_repetition_scores(spark, sf):
+    """Gopher-style repetition filter signals (training-data prep):
+    unique-unigram and unique-bigram ratios per document — heavily
+    repeated boilerplate scores low.  Pure Column expressions (no UDF),
+    embarrassingly parallel at any scale."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    uni = F.size(F.array_distinct(toks)).cast("double") / n
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    bi = F.when(n < 2, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(uni, 4).alias("uniq_unigram_ratio"),
+        F.round(bi, 4).alias("uniq_bigram_ratio"),
+    )
+
+
+@register(
     "ip_sessions",
     L
     + """
