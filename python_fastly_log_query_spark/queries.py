@@ -1759,6 +1759,31 @@ def q_segment_revenue_topn(spark, sf):
 
 
 @register(
+    "requests_per_host",
+    L
+    + """
+SELECT cache_server AS host, count(*) AS requests,
+       CAST(sum(response_size) AS BIGINT) AS bytes,
+       round(CAST(count(*) FILTER (WHERE status_code >= 400) AS DOUBLE)
+             / count(*), 4) AS error_rate
+FROM logs GROUP BY 1
+""",
+)
+def q_requests_per_host(spark, sf):
+    """Per-host traffic rollup (the north star's "requests-per-host"):
+    requests, bytes, and error rate by serving host — one map-side-
+    combined shuffle on the host key."""
+    p = _parsed(spark, sf)
+    n = F.count(F.lit(1))
+    err = F.count(F.when(F.col("status_code") >= 400, 1))
+    return p.groupBy(F.col("cache_server").alias("host")).agg(
+        n.alias("requests"),
+        F.sum("response_size").alias("bytes"),
+        F.round(err.cast("double") / n, 4).alias("error_rate"),
+    )
+
+
+@register(
     "repetition_scores",
     r"""
 WITH t AS (
