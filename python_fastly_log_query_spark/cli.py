@@ -146,39 +146,21 @@ def cmd_query(args) -> int:
         print(f"no log files under {args.log_dir}", file=sys.stderr)
         return 1
     parse_out = os.path.join(work, "parsed")
-
-    def _reader(fs: list) -> "DataFrame":
-        # lineage reader: (text, source_file, line_number) — the
-        # deterministic per-row identity the service join keys on below
-        from .sources.logfiles import read_log_lines
-
-        return read_log_lines(spark, fs).withColumn(
-            "source_file", F.regexp_replace("source_file", r"^file:/+", "/")
-        )
-
     summary = ck.run_incremental(
         spark, files, parse_out,
-        lambda df: parse_logs(df, "text", passthrough=["source_file", "line_number"]),
-        reader=_reader,
+        lambda df: parse_logs(df, "text", passthrough=["source_file"]),
     )
     parsed = ck.read_output(spark, parse_out).cache()
     enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
     if args.route_by == "service":
         # ADVICE r1: the enriched log frame has no service column — add it
-        # via the longest-prefix broadcast join before routing.  ADVICE r2:
-        # the join key must be DETERMINISTIC — monotonically_increasing_id
-        # is recomputed per lineage branch and enrich_service evaluates the
-        # input twice, so ids could diverge under recompute/retry; the
-        # (source_file, line_number) lineage pair identifies a row stably.
+        # via the longest-prefix service resolver before routing.  ADVICE
+        # r2 flagged the old join's nondeterministic row key; the resolver
+        # is now a per-row when-chain (operators/enrich.py), so no row key
+        # exists at all and the checkpoint schema stays unchanged.
         from .operators.enrich import default_service_dim, enrich_service
 
-        enriched = enrich_service(
-            enriched.withColumn(
-                "_rk", F.concat_ws("#", "source_file", "line_number")
-            ),
-            default_service_dim(spark),
-            key_col="_rk",
-        ).drop("_rk")
+        enriched = enrich_service(enriched, default_service_dim(spark))
     routed_dir = os.path.join(work, "routed")
     write_routed(enriched, routed_dir, args.route_by)
     counts = {r["route"]: r["rows"] for r in routed_counts(enriched, args.route_by).collect()}

@@ -62,27 +62,48 @@ def default_service_dim(spark) -> DataFrame:
     )
 
 
+_SERVICE_DIM_MAX_RULES = 1000
+
+
 def enrich_service(
     df: DataFrame,
     services: DataFrame,
     path_col: str = "path",
-    key_col: str = "url",
 ) -> DataFrame:
-    """Longest-prefix-match of ``path`` against a broadcast service dim →
+    """Longest-prefix-match of ``path`` against a small service dim →
     adds ``service``/``tier``.
 
-    Broadcast theta-join on ``startswith`` then keep the longest matching
-    prefix per row via a max_by aggregation on a unique row key — no
-    window shuffle (the groupBy keys are the fact rows themselves, and AQE
-    coalesces).  ``key_col`` must uniquely identify rows (url for the docs
-    table, event_id for the oracle corpus); rows with no match keep null
-    service.
+    The dim is routing RULES — inherently small — so it is collected once
+    and compiled into a single codegen'd ``when`` chain ordered longest
+    prefix first (ties broken by prefix text for determinism).  That
+    removes the former broadcast-theta-join + max_by-on-unique-key shape
+    entirely: no join, no aggregate, no unique-row-key requirement (the
+    old ``key_col`` contract silently mis-routed rows whenever the key
+    collided — e.g. per-partition line numbers on a multi-split text
+    file), and exactly one projection per row at any scale.  Rows with no
+    matching prefix keep null service/tier.  Guarded at
+    ``_SERVICE_DIM_MAX_RULES`` rules — past that, a when-chain stops
+    being the right plan and a real join belongs here.
     """
-    cand = df.select(key_col, F.col(path_col).alias("_p")).join(
-        F.broadcast(services), F.col("_p").startswith(F.col("path_prefix")), "inner"
-    )
-    best = cand.groupBy(key_col).agg(
-        F.expr("max_by(service, length(path_prefix))").alias("service"),
-        F.expr("max_by(tier, length(path_prefix))").alias("tier"),
-    )
-    return df.join(best, key_col, "left")
+    rules = services.select("path_prefix", "service", "tier").collect()
+    if len(rules) > _SERVICE_DIM_MAX_RULES:
+        raise ValueError(
+            f"service dim has {len(rules)} rules; enrich_service compiles a "
+            f"when-chain and caps at {_SERVICE_DIM_MAX_RULES}"
+        )
+    ordered = sorted(rules, key=lambda r: (-len(r["path_prefix"]), r["path_prefix"]))
+    p = F.col(path_col)
+    service_expr, tier_expr = None, None
+    for r in ordered:
+        cond = p.startswith(F.lit(r["path_prefix"]))
+        service_expr = (
+            F.when(cond, r["service"])
+            if service_expr is None
+            else service_expr.when(cond, r["service"])
+        )
+        tier_expr = (
+            F.when(cond, r["tier"]) if tier_expr is None else tier_expr.when(cond, r["tier"])
+        )
+    if service_expr is None:
+        service_expr = tier_expr = F.lit(None).cast("string")
+    return df.withColumn("service", service_expr).withColumn("tier", tier_expr)

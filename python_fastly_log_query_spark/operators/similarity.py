@@ -294,6 +294,13 @@ def exact_cosine_pairs(
     ``mode='auto'`` picks by row count.  Returns (a_col, b_col, cosine
     double, unrounded); callers round/filter JVM-side so rounding
     semantics match the pure-Catalyst twins.
+
+    Float-association note: einsum sums pairwise, the SQL oracles sum
+    left-to-right, so a cosine can differ in its last ulp across engines.
+    Downstream comparisons always happen after ``round(..., 4)``, so a
+    divergence needs the true value within ~1e-12 of a rounding boundary
+    (~1e-8 per pair) — accepted, unlike the PQ/feature derivations where
+    a bit-exact association is cheap and therefore mandated.
     """
     import numpy as np
     import pandas as pd
@@ -306,13 +313,26 @@ def exact_cosine_pairs(
     if mode == "broadcast":
         bc = _emb_broadcast(emb, id_col)
 
+        def _gather(ids, wanted):
+            # membership-checked gather: searchsorted returns an insertion
+            # point for ABSENT ids, which would silently score against a
+            # neighboring vector (or index out of range) — fail loudly
+            idx = np.searchsorted(ids, wanted)
+            bad = (idx >= len(ids)) | (ids[np.minimum(idx, len(ids) - 1)] != wanted)
+            if bad.any():
+                raise ValueError(
+                    f"candidate ids missing from the embedding table: "
+                    f"{wanted[bad][:5].tolist()}"
+                )
+            return idx
+
         def _iter(batches):
             ids, mat, norms = bc.value
             for pdf in batches:
                 if not len(pdf):
                     continue
-                ia = np.searchsorted(ids, pdf[a_col].to_numpy(np.int64))
-                ib = np.searchsorted(ids, pdf[b_col].to_numpy(np.int64))
+                ia = _gather(ids, pdf[a_col].to_numpy(np.int64))
+                ib = _gather(ids, pdf[b_col].to_numpy(np.int64))
                 cos = np.einsum("ij,ij->i", mat[ia], mat[ib]) / (norms[ia] * norms[ib])
                 yield pd.DataFrame(
                     {a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos}
