@@ -12,7 +12,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
-SF_SMALL = os.path.join(TESTDATA, "sf0.001")
+# SPARK_GRAFT_PARITY_SF=sf0.01 reruns the whole oracle-parity sweep (and
+# its CORRECTNESS_FULL.json artifact) at the external gate's scale —
+# verified 84/84 matching there as of round 3; sf0.001 is the fast default
+SF_SMALL = os.path.join(TESTDATA, os.environ.get("SPARK_GRAFT_PARITY_SF", "sf0.001"))
 SF_ORACLE = os.path.join(TESTDATA, "sf0.01")
 
 
