@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.columns import round_half_away
+
 # ---------------------------------------------------------------- shingles
 
 
@@ -416,7 +418,7 @@ def jaccard_topk(docs: DataFrame, query_doc_id: int = 0, k: int = 10, n: int = 3
     return (
         d.filter(F.col("doc_id") != query_doc_id)
         .crossJoin(F.broadcast(q))
-        .select("doc_id", F.round(sim, 4).alias("jaccard"))
+        .select("doc_id", round_half_away(sim, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))
         .limit(k)
     )
@@ -437,7 +439,7 @@ def lsh_verified_pairs(
     )
     jac = ngram_jaccard(F.col("_ta"), F.col("_tb"))
     return (
-        joined.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        joined.select("doc_a", "doc_b", round_half_away(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

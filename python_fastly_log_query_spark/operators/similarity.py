@@ -19,6 +19,8 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.columns import round_half_away
+
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -57,7 +59,7 @@ def brute_topk(
         .select(id_col, c.alias("c"))
         .orderBy(F.desc("c"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("c", 4).alias("cosine"))
+        .select(id_col, round_half_away("c", 4).alias("cosine"))
     )
 
 
@@ -114,7 +116,7 @@ def lsh_topk(
         .select(id_col, c.alias("c"))
         .orderBy(F.desc("c"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("c", 4).alias("cosine"))
+        .select(id_col, round_half_away("c", 4).alias("cosine"))
     )
 
 
@@ -149,7 +151,7 @@ def neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
-            F.round(c, 4).alias("cosine"),
+            round_half_away(c, 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -437,7 +439,7 @@ def banded_neardup_pairs(
     )
     scored = exact_cosine_pairs(cand, emb, id_col, n_rows=n)
     return scored.select(
-        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+        "vec_a", "vec_b", round_half_away("cosine", 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -515,7 +517,7 @@ def ivf_topk(
         .select(id_col, c.alias("c"))
         .orderBy(F.desc("c"), F.asc(id_col))
         .limit(k)
-        .select(id_col, F.round("c", 4).alias("cosine"))
+        .select(id_col, round_half_away("c", 4).alias("cosine"))
     )
 
 
@@ -636,7 +638,7 @@ def pq_adc_topk(
     return (
         codes.join(F.broadcast(dist_table), ["sub", "code"])
         .groupBy(id_col)
-        .agg(F.round(F.sum("_qd"), 4).alias("adc"))
+        .agg(round_half_away(F.sum("_qd"), 4).alias("adc"))
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k)
     )
@@ -698,7 +700,7 @@ def ivf_pq_topk(
         codes.join(in_cells, id_col, "left_semi")
         .join(F.broadcast(dist_table), ["sub", "code"])
         .groupBy(id_col)
-        .agg(F.round(F.sum("_qd"), 4).alias("adc"))
+        .agg(round_half_away(F.sum("_qd"), 4).alias("adc"))
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k)
     )

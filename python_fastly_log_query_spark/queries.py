@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from . import oracle_corpus as oc
 from .datagen import geoip_dim as _unused_geoip  # noqa: F401 (engine dim builder)
-from .functions.columns import agent_type, ip_to_long, status_class
+from .functions.columns import agent_type, ip_to_long, round_half_away, status_class
 from .operators import aggregates as agg
 from .operators.enrich import enrich_geoip
 from .plans.lasthours import filter_last_hours
@@ -44,7 +44,7 @@ def _r(df: DataFrame, cols: list[str], nd: int = 4) -> DataFrame:
     """Round float columns for hash-stable comparison."""
     out = df
     for c in cols:
-        out = out.withColumn(c, F.round(F.col(c), nd))
+        out = out.withColumn(c, round_half_away(F.col(c), nd))
     return out
 
 
@@ -946,7 +946,7 @@ def q_quality_scores(spark, sf):
         + 0.4 * F.least(F.lit(1.0), stop_hits / ntok * 5)
         + 0.2 * (1.0 - (nch - nclean) / nch)
     )
-    return docs.select("doc_id", F.round(quality, 4).alias("quality"))
+    return docs.select("doc_id", round_half_away(quality, 4).alias("quality"))
 
 
 @register(
@@ -999,7 +999,7 @@ def q_embedding_topk_cosine(spark, sf):
         joined.select("vec_id", c.alias("c"))
         .orderBy(F.desc("c"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("c", 4).alias("cosine"))
+        .select("vec_id", round_half_away("c", 4).alias("cosine"))
     )
 
 
@@ -1483,7 +1483,7 @@ def q_media_features(spark, sf):
         "media_id",
         "kind",
         "dim",
-        F.round(F.col("f").cast("double"), 4).alias("value"),
+        round_half_away(F.col("f").cast("double"), 4).alias("value"),
     )
 
 
@@ -1738,9 +1738,9 @@ def q_pricing_summary(spark, sf):
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            round_half_away(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_away(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_away(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -1778,7 +1778,7 @@ def q_segment_revenue_topn(spark, sf):
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
         .agg(
-            F.round(
+            round_half_away(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1808,7 +1808,7 @@ def q_requests_per_host(spark, sf):
     return p.groupBy(F.col("cache_server").alias("host")).agg(
         n.alias("requests"),
         F.sum("response_size").alias("bytes"),
-        F.round(err.cast("double") / n, 4).alias("error_rate"),
+        round_half_away(err.cast("double") / n, 4).alias("error_rate"),
     )
 
 
@@ -1850,8 +1850,8 @@ def q_repetition_scores(spark, sf):
     )
     return docs.select(
         "doc_id",
-        F.round(uni, 4).alias("uniq_unigram_ratio"),
-        F.round(bi, 4).alias("uniq_bigram_ratio"),
+        round_half_away(uni, 4).alias("uniq_unigram_ratio"),
+        round_half_away(bi, 4).alias("uniq_bigram_ratio"),
     )
 
 
@@ -2000,7 +2000,7 @@ def q_training_corpus_stats(spark, sf):
     stop_hits = _stop_hits_spark(text)
     nch = F.length(text)
     nclean = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
-    quality = F.round(
+    quality = round_half_away(
         0.4 * F.least(F.lit(1.0), nch / 500.0)
         + 0.4 * F.least(F.lit(1.0), stop_hits / ntok * 5)
         + 0.2 * (1.0 - (nch - nclean) / nch),
