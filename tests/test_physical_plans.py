@@ -400,3 +400,36 @@ def test_ivf_pq_full_probe_equals_pq(spark):
     assert full == plain
     narrow = [(r["vec_id"], r["adc"]) for r in ivf_pq_topk(emb, 0, 10, n_cells=8, nprobe=2).collect()]
     assert narrow == sorted(narrow, key=lambda t: (t[1], t[0]))
+
+
+def test_round_half_away_matches_duckdb(spark):
+    """Cross-engine rounding contract: round_half_away must agree with
+    DuckDB's round() on the BINARY double value — including shortest-
+    decimal-repr half boundaries where Spark's F.round diverges (the
+    sf0.1 quality_scores regression this helper fixed)."""
+    import random
+
+    import duckdb
+
+    from python_fastly_log_query_spark.functions.columns import round_half_away
+
+    rng = random.Random(11)
+    vals = [0.52165, 0.52565, -0.12345, 2.5e-5, -2.5e-5, 0.03125, -0.03125, 0.0]
+    vals += [rng.uniform(-1000, 1000) for _ in range(3000)]
+    vals += [rng.uniform(-1, 1) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    con = duckdb.connect()
+    for nd in (2, 4):
+        got = [r[0] for r in df.select(round_half_away(F.col("x"), nd).alias("r"))
+               .collect()]
+        exp = [con.execute(f"SELECT round(CAST(? AS DOUBLE), {nd})", [v]).fetchone()[0]
+               for v in vals]
+        assert got == exp, [
+            (v, g, e) for v, g, e in zip(vals, got, exp) if g != e
+        ][:5]
+    # and the motivating case: F.round on the same value disagrees
+    boundary = spark.createDataFrame([(0.4 * 0.726 + 0.4 * 0.078125 + 0.2 * 1.0,)],
+                                     "x double")
+    fr = boundary.select(F.round("x", 4).alias("r")).collect()[0]["r"]
+    rha = boundary.select(round_half_away(F.col("x"), 4).alias("r")).collect()[0]["r"]
+    assert (fr, rha) == (0.5217, 0.5216)
