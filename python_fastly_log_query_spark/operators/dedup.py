@@ -107,7 +107,11 @@ _P = (1 << 31) - 1
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Array of ``num_hashes`` minhash values per doc.
 
@@ -129,12 +133,14 @@ def minhash_signatures(
     """
     from ..plans.partitioning import spread
 
+    extra = list(passthrough or [])
     sh = spread(docs).select(
-        F.col(id_col), word_shingles(F.col(text_col)).alias("_sh")
+        F.col(id_col), *extra, word_shingles(F.col(text_col)).alias("_sh")
     )
-    hashed = sh.select(id_col, F.transform("_sh", F.md5).alias("_h"))
+    hashed = sh.select(id_col, *extra, F.transform("_sh", F.md5).alias("_h"))
     ab = hashed.select(
         id_col,
+        *extra,
         F.transform(
             "_h", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _P
         ).alias("_a"),
@@ -151,7 +157,7 @@ def minhash_signatures(
             for k in range(num_hashes)
         ]
     )
-    return ab.select(F.col(id_col), sig.alias("signature"))
+    return ab.select(F.col(id_col), *extra, sig.alias("signature"))
 
 
 def minhash_params(
@@ -213,21 +219,22 @@ def minhash_params(
     return best[1], best[2]
 
 
-def lsh_candidate_pairs(
+def banded_signature_keys(
     docs: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing >=1 band bucket.
-
-    band key = md5 of the band's minhash slice; one shuffle on
-    (band, key); output (doc_a < doc_b) distinct.  Size (num_hashes,
-    bands) for a target threshold/recall with :func:`minhash_params`.
-    """
+    """Exploded MinHash banding frame ``(id, band, key [, passthrough])``:
+    band key = md5 of the band's minhash slice.  This is THE signature
+    artifact — consumed in-session via :func:`selfjoin_ready`
+    (lsh_candidate_pairs) or materialized durably as an incremental
+    pipeline stage (:func:`build_signature_table`)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
+    extra = list(passthrough or [])
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, passthrough=extra)
     band_keys = F.array(
         *[
             F.md5(
@@ -242,10 +249,15 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = selfjoin_ready(
-        sigs.select(F.col(id_col), F.posexplode(band_keys).alias("band", "key"))
+    return sigs.select(
+        F.col(id_col), *extra, F.posexplode(band_keys).alias("band", "key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def _banded_pair_join(keyed: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs from an exploded (id, band, key) frame —
+    a pure equi-join on both columns (hash/merge join, never a loop)."""
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
@@ -256,6 +268,74 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing >=1 band bucket.
+
+    band key = md5 of the band's minhash slice; one shuffle on
+    (band, key); output (doc_a < doc_b) distinct.  Size (num_hashes,
+    bands) for a target threshold/recall with :func:`minhash_params`.
+    """
+    banded = selfjoin_ready(
+        banded_signature_keys(docs, num_hashes, bands, id_col, text_col)
+    )
+    return _banded_pair_join(banded, id_col)
+
+
+# ------------------------------------------------- durable signature stage
+
+
+def build_signature_table(
+    spark,
+    doc_files: list[str],
+    out_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Materialize the banding frame as a DURABLE incremental pipeline
+    stage — the warehouse-scale form of :func:`selfjoin_ready`'s persist
+    (its docstring's "materializing the signature table as a pipeline
+    stage"), built on plans/checkpoint.py:
+
+    - unit = input parquet file; per-unit lineage + metrics records
+      commit atomically AFTER the sink write, so a killed signature build
+      over 10^12 docs resumes without recomputing finished units;
+    - re-invocation skips committed units (returns the skip summary);
+    - downstream joins read the on-disk table — no session persist, no
+      recompute-per-side, survives across jobs.
+    """
+    from ..plans.checkpoint import run_incremental
+
+    def reader(files: list[str]) -> DataFrame:
+        return spark.read.parquet(*files).withColumn(
+            "source_file", F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
+        )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return banded_signature_keys(
+            df, num_hashes, bands, id_col, text_col, passthrough=["source_file"]
+        )
+
+    return run_incremental(spark, doc_files, out_dir, transform, reader=reader)
+
+
+def candidate_pairs_from_table(spark, out_dir: str, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs joining the MATERIALIZED signature table with
+    itself: both sides scan durable storage, so no persist (and no
+    in-session recompute) exists anywhere in the plan."""
+    from ..plans.checkpoint import read_output
+
+    keyed = read_output(spark, out_dir).select(id_col, "band", "key")
+    return _banded_pair_join(keyed, id_col)
 
 
 # ---------------------------------------------------------------- simhash

@@ -201,3 +201,49 @@ def test_list_log_files_remote_scheme_dispatch():
         pats = list_log_files(scheme + "/")
         assert pats == [f"{scheme}/**/*.log", f"{scheme}/**/*.log.gz"]
     assert list_log_files("/definitely/missing/dir") == []
+
+
+def test_signature_table_incremental_stage(spark, tmp_path):
+    """The MinHash banding frame as a durable incremental stage: built
+    per input file with kill-resume lineage, skipped on re-invocation,
+    and the table-backed candidate join must (a) equal the in-session
+    LSH pairs and (b) plan with NO InMemoryRelation — durable storage
+    replaces the session persist."""
+    import glob
+
+    from python_fastly_log_query_spark.operators.dedup import (
+        build_signature_table, candidate_pairs_from_table, lsh_candidate_pairs,
+        release_persists,
+    )
+    from conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(4)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    files = sorted(glob.glob(f"{src}/part-*.parquet"))
+    assert len(files) == 4
+    out = str(tmp_path / "sigs")
+
+    s1 = build_signature_table(spark, files, out)
+    assert (s1["processed_units"], s1["skipped_units"]) == (4, 0)
+    s2 = build_signature_table(spark, files, out)
+    assert (s2["processed_units"], s2["skipped_units"]) == (0, 4)
+
+    from_table = {
+        (r["doc_a"], r["doc_b"])
+        for r in candidate_pairs_from_table(spark, out).collect()
+    }
+    in_session = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(spark.read.parquet(src)).collect()
+    }
+    release_persists()
+    assert from_table == in_session
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        candidate_pairs_from_table(spark, out).explain("formatted")
+    assert "InMemoryRelation" not in buf.getvalue()
