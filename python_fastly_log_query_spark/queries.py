@@ -1812,6 +1812,26 @@ def q_requests_per_host(spark, sf):
     )
 
 
+@register("dedup_minhash_lsh_table", _LSH_CTE + "\nSELECT doc_a, doc_b FROM pairs")
+def q_dedup_minhash_lsh_table(spark, sf):
+    """The DURABLE signature-stage path (dedup.py:build_signature_table):
+    the banding frame is materialized through the incremental checkpoint
+    machinery (per-file lineage, kill-resume) and candidate pairs join
+    the ON-DISK table — no session persist anywhere in the plan.  Must
+    produce exactly the in-session LSH pairs, so it shares
+    dedup_minhash_lsh's oracle."""
+    import glob
+
+    from .operators.dedup import build_signature_table, candidate_pairs_from_table
+
+    work, _ = _stream_scratch(spark, "sig_table")
+    files = sorted(glob.glob(f"{sf}/documents.parquet")) or sorted(
+        glob.glob(f"{sf}/documents.parquet/part-*.parquet")
+    )
+    build_signature_table(spark, files, work, _NH, _NB)
+    return candidate_pairs_from_table(spark, work)
+
+
 @register(
     "repetition_scores",
     r"""
