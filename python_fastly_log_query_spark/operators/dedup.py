@@ -24,6 +24,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.columns import round_half_away
@@ -77,20 +79,27 @@ def selfjoin_ready(keyed: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     df = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_PERSISTS.append(df)
+    with _PERSISTS_LOCK:
+        _LIVE_PERSISTS.append(df)
     return df
 
 
 _LIVE_PERSISTS: list[DataFrame] = []
+_PERSISTS_LOCK = threading.Lock()
 
 
 def release_persists() -> int:
     """Unpersist every frame :func:`selfjoin_ready` still holds; returns
     how many were released.  Safe to call between queries — unpersist is
-    lazy/non-blocking and any already-stopped session is skipped."""
+    lazy/non-blocking and any already-stopped session is skipped.  The
+    registry is guarded by a lock so concurrent registration/release from
+    different threads can't corrupt the list; the build-then-evaluate
+    contract (a release drops OTHER queries' still-wanted persists, which
+    then merely recompute) is documented at the call sites."""
+    with _PERSISTS_LOCK:
+        drained, _LIVE_PERSISTS[:] = _LIVE_PERSISTS[:], []
     n = 0
-    while _LIVE_PERSISTS:
-        df = _LIVE_PERSISTS.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1

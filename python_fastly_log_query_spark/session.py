@@ -14,6 +14,7 @@ Semantics-critical configs:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -56,8 +57,11 @@ def builder_conf(
         # catalog; keep their data out of the repo cwd
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", "/root/repo/_work/spark-warehouse"
+            os.environ.get("SPARK_GRAFT_WAREHOUSE")
+            or os.path.join(
+                os.environ.get("SPARK_GRAFT_WORK_DIR")
+                or os.path.join(tempfile.gettempdir(), "pflq_spark_work"),
+                "spark-warehouse",
             ),
         )
         .config("spark.ui.enabled", "false")

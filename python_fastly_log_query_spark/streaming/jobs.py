@@ -59,6 +59,7 @@ def stream_docs(
     spark: SparkSession,
     input_dir: str,
     schema: StructType | str = "doc_id long, text string, lang string, source string, n_chars long",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over a parquet TABLE directory (north rule: the
     input is an Iceberg/parquet table of web pages, not raw log files).
@@ -67,8 +68,14 @@ def stream_docs(
 
     File streams require an explicit schema (no inference at stream start);
     the default matches the documents table (TESTDATA.md).
+    ``max_files_per_trigger`` caps files per micro-batch (honored by
+    Trigger.AvailableNow too) — lets tests and backfills advance the
+    watermark batch-by-batch instead of swallowing the backlog whole.
     """
-    return spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def stream_parse_docs(
@@ -152,6 +159,53 @@ def ip_request_rate_stream(parsed: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_within_watermark(
+    docs: DataFrame,
+    fp_col: str = "fp",
+    ts_col: str = "event_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """BOUNDED-state streaming dedup (VERDICT r3 item 3): drop duplicate
+    fingerprints that arrive within the late-data horizon, the standard
+    ingestion contract.  Unlike plain ``dropDuplicates`` — whose state
+    holds every fingerprint ever seen, O(distinct docs) and an OOM at
+    10^12 — ``dropDuplicatesWithinWatermark`` evicts a fingerprint's
+    state once the event-time watermark passes its expiry, so state size
+    is O(distinct fingerprints per horizon) regardless of stream length.
+
+    Semantics: exact dedup for duplicates landing within ``watermark`` of
+    the first occurrence; re-occurrences beyond the horizon re-emit (by
+    design — at ingestion the horizon IS the dedup contract, and a
+    periodic batch sweep or the durable signature table
+    (operators/dedup.py:build_signature_table) handles cross-horizon
+    duplicates).  The registered query's oracle is exact because the
+    synthetic corpus's event times span less than the horizon.
+    """
+    return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [fp_col]
+    )
+
+
+def state_metrics(query: Any) -> list[dict]:
+    """Per-micro-batch state-store metrics from a finished StreamingQuery:
+    ``[{batch, state_rows, rows_updated, rows_removed}, ...]`` — the
+    evidence that dedup state stays bounded (rows_removed > 0 proves
+    watermark eviction is live)."""
+    out = []
+    for p in query.recentProgress:
+        for so in p.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch": p.get("batchId"),
+                    "operator": so.get("operatorName"),
+                    "state_rows": so.get("numRowsTotal"),
+                    "rows_updated": so.get("numRowsUpdated"),
+                    "rows_removed": so.get("numRowsRemoved"),
+                }
+            )
+    return out
 
 
 def run_available_now(

@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 # SPARK_GRAFT_PARITY_SF=sf0.01 reruns the whole oracle-parity sweep (and
 # its CORRECTNESS_FULL.json artifact) at the external gate's scale —
-# verified 84/84 matching there as of round 3; sf0.001 is the fast default
+# full-registry green there (authoritative count lives in
+# CORRECTNESS_FULL.json, not here); sf0.001 is the fast default
 SF_SMALL = os.path.join(TESTDATA, os.environ.get("SPARK_GRAFT_PARITY_SF", "sf0.001"))
 SF_ORACLE = os.path.join(TESTDATA, "sf0.01")
 

@@ -40,16 +40,30 @@ def ddb():
     con.close()
 
 
+_SCALAR_TYPES = (bool, int, float, str, bytes, type(None))
+
+
 def _canon(val):
+    """BIT-EXACT scalar canonicalization (VERDICT r3 item 1): the external
+    gate hashes values with no tolerance, so this mirror must too.  Floats
+    canonicalize to their shortest repr — equal iff the same IEEE double
+    (round-3's round(6) tolerance could pass a value the gate's hash
+    rejects).  NaN gets a distinct marker; -0.0 stays distinct from 0.0
+    (stricter than any plausible gate normalization — queries must simply
+    not emit the ambiguity).  Non-scalar values (arrays/maps/structs) are
+    a hard error: r2's media_features proved they crash the gate's
+    canonicalizer."""
     if val is None:
-        return None
+        return "∅"
     if isinstance(val, float):
-        if math.isnan(val):
-            return None
-        # absorb float-representation noise beyond rounded precision
-        return round(val, 6)
+        return "nan" if math.isnan(val) else repr(val)
+    if isinstance(val, bool):
+        return f"b:{val}"
     if isinstance(val, int):
-        return int(val)
+        return f"i:{val}"
+    if isinstance(val, (list, tuple, dict, set)):
+        raise AssertionError(f"non-scalar result value {type(val).__name__}: {val!r:.80}")
+    # str / bytes / datetime / date / Decimal → stable string form
     return str(val)
 
 
@@ -57,6 +71,16 @@ def _rows_to_set(cols, rows):
     # driver compare is order-insensitive with columns sorted by name
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def _value_hash(canon_rows) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for row in canon_rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 QUERIES = entrymod.queries()
@@ -79,10 +103,13 @@ def test_query_matches_oracle(spark, ddb, name):
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} != {len(orows)}"
     sset = _rows_to_set(scols, srows)
     oset = _rows_to_set(ocols, orows)
+    rec["value_hash"] = _value_hash(sset)
+    rec["hash_match"] = _value_hash(oset) == rec["value_hash"]
     if sset != oset:
         diff_s = [r for r in sset if r not in oset][:5]
         diff_o = [r for r in oset if r not in sset][:5]
         raise AssertionError(f"{name}: values differ\n spark-only: {diff_s}\n oracle-only: {diff_o}")
+    assert rec["hash_match"]
     rec["status"] = "match"
 
 
@@ -102,7 +129,11 @@ def test_zz_write_full_coverage_artifact():
         pytest.skip("partial run — artifact reflects full sweeps only")
     out = {
         "sf": SF_SMALL,
-        "generated_by": "pytest tests/test_oracle_parity.py (order-insensitive value compare vs DuckDB)",
+        "generated_by": (
+            "pytest tests/test_oracle_parity.py (order-insensitive BIT-EXACT "
+            "value compare vs DuckDB: columns sorted by name, rows sorted, "
+            "shortest-repr floats, sha256 value hash per side)"
+        ),
         "registered": len(QUERIES),
         "with_full_oracle": len(ORACLES),
         "queries": {n: _RESULTS[n] for n in QUERIES},

@@ -337,6 +337,27 @@ def test_exact_cosine_pairs_modes_agree(spark):
     assert b == j
 
 
+def test_exact_cosine_pairs_broadcast_cap_raises(spark):
+    """VERDICT r3 item 6: an EXPLICIT mode='broadcast' past the driver-
+    gather cap must fail loudly instead of silently pulling the table to
+    the driver; auto mode simply picks the join path instead."""
+    import pytest as _pytest
+
+    from python_fastly_log_query_spark.operators.similarity import (
+        exact_cosine_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    pairs = spark.range(5).select(
+        F.col("id").alias("vec_a"), (F.col("id") + 1).alias("vec_b")
+    )
+    with _pytest.raises(ValueError, match="broadcast_max_rows"):
+        exact_cosine_pairs(pairs, emb, mode="broadcast", broadcast_max_rows=10)
+    # auto mode under the same cap routes to the join path and still works
+    out = exact_cosine_pairs(pairs, emb, mode="auto", broadcast_max_rows=10)
+    assert out.count() == 5
+
+
 def test_minhash_params_scurve_contract():
     """minhash_params must hit the recall target at the threshold; where
     the fp budget is reachable (thresholds >= ~0.7) it must be met, and
