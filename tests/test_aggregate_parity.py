@@ -165,3 +165,90 @@ def test_endpoint_parameter_values_parity(ref_analytics, ref_entries, ours_order
         p: {str(v): int(c) for v, c in vals.items()}
         for p, vals in wq["parameter_values"].items()
     }
+
+
+# ------------------------------------------------- chunked sessionization
+
+
+def _plain_sessions(spark, events):
+    """Reference implementation: single-window gap sessionization
+    (the ip_sessions shape) rolled up to per-session rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ip_address").orderBy("timestamp", "event_id")
+    prev = F.lag("timestamp").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("timestamp").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("_n", new_s).withColumn(
+        "session_id", F.sum("_n").over(ws)
+    )
+    return sess.groupBy("ip_address", "session_id").agg(
+        F.count(F.lit(1)).alias("hits"),
+        (
+            F.max("timestamp").cast("long") - F.min("timestamp").cast("long")
+        ).alias("span_sec"),
+    )
+
+
+def _session_multiset(df):
+    """Session ids are per-key ordinals with engine-dependent numbering;
+    compare the per-key MULTISET of (hits, span) instead."""
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["ip_address"], []).append((r["hits"], r["span_sec"]))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_sessionize_chunked_equals_plain_on_skewed_profile(spark):
+    """VERDICT r3 item 4: the chunked sessionizer must reproduce the
+    plain window result exactly on a HOT-KEY profile (one IP carrying
+    ~50% of events, sessions spanning chunk boundaries, boundary-exact
+    gaps) — including sessions longer than a chunk and events exactly at
+    chunk edges."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.skew import sessionize_chunked
+
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    # hot IP: continuous activity every 20 min for 3 days → ONE session
+    # spanning ~18 chunk boundaries (merge chains through whole chunks)
+    for i in range(3 * 24 * 3):
+        rows.append(("10.0.0.1", base + i * 1200, eid)); eid += 1
+    # hot IP again after a 31-min silence: a NEW session (gap just over)
+    t = base + 3 * 24 * 3 * 1200 + 31 * 60
+    for i in range(5):
+        rows.append(("10.0.0.1", t + i * 60, eid)); eid += 1
+    # session ending EXACTLY gap seconds before the next event (boundary:
+    # > gap starts a session, == gap does not)
+    rows.append(("10.0.0.2", base + 1000, eid)); eid += 1
+    rows.append(("10.0.0.2", base + 1000 + 1800, eid)); eid += 1
+    rows.append(("10.0.0.2", base + 1000 + 1800 + 1801, eid)); eid += 1
+    # events exactly AT a chunk edge (ts % chunk_sec == 0) and 1s either side
+    edge = base - base % (4 * 3600) + 8 * 3600
+    for dt in (-1, 0, 1):
+        rows.append(("10.0.0.3", edge + dt, eid)); eid += 1
+    # cold tail: many single-event IPs
+    for i in range(200):
+        rows.append((f"10.9.{i // 256}.{i % 256}", base + i * 7919, eid)); eid += 1
+
+    events = spark.createDataFrame(
+        [(ip, ts, e) for ip, ts, e in rows], "ip_address string, epoch long, event_id long"
+    ).select("ip_address", F.timestamp_seconds("epoch").alias("timestamp"), "event_id")
+
+    got = _session_multiset(
+        sessionize_chunked(events, "ip_address", "timestamp", "event_id")
+    )
+    want = _session_multiset(_plain_sessions(spark, events))
+    assert got == want
+    # shape sanity: the hot IP's marathon session survived stitching whole
+    assert max(h for h, _ in got["10.0.0.1"]) == 3 * 24 * 3
+    assert len(got["10.0.0.2"]) == 2
+    assert len(got["10.0.0.3"]) == 1

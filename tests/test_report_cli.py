@@ -115,6 +115,75 @@ def test_cli_package(tmp_path):
     assert "python_fastly_log_query_spark/operators/parse.py" in names
 
 
+def test_flagship_runs_from_zip_alone(tmp_path):
+    """VERDICT r3 item 7: a fresh session must run the flagship from the
+    --py-files zip ALONE — no repo checkout on the path.  A subprocess
+    with cwd in a temp dir and PYTHONPATH=<zip> (inherited by the
+    executors' Python workers, exactly how spark-submit --py-files
+    delivers code) imports the package from the zip and runs
+    parse -> enrich -> rollup on sf0.001."""
+    import subprocess
+    import sys
+
+    assert cli.main(["package"]) == 0
+    zip_path = "/root/repo/dist/python_fastly_log_query_spark.zip"
+    script = tmp_path / "drive.py"
+    script.write_text(
+        """
+import os, sys
+import python_fastly_log_query_spark as pkg
+assert os.path.abspath(pkg.__file__).startswith(
+    os.environ["PKG_ZIP"]
+), f"package resolved outside the zip: {pkg.__file__}"
+from pyspark.sql import functions as F
+from python_fastly_log_query_spark.session import get_spark
+from python_fastly_log_query_spark import oracle_corpus as oc
+from python_fastly_log_query_spark.datagen import geoip_dim
+from python_fastly_log_query_spark.functions.columns import status_class
+from python_fastly_log_query_spark.operators.enrich import enrich_geoip
+
+spark = get_spark("zip-smoke")
+spark.sparkContext.setLogLevel("ERROR")
+parsed = oc.parsed_events(
+    spark, "/root/testdata/sf0.001",
+    columns=["timestamp", "ip_address", "status_code", "response_size"],
+)
+enriched = enrich_geoip(parsed, geoip_dim(spark, 256))
+routed = enriched.withColumn("route", status_class(F.col("status_code")))
+n = (
+    routed.groupBy(F.date_trunc("hour", "timestamp").alias("hour"), "route", "country")
+    .agg(F.count(F.lit(1)).alias("requests"))
+    .count()
+)
+assert n > 0, n
+print(f"ZIP_SMOKE_OK rows={n}")
+spark.stop()
+"""
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    env.update(
+        PYTHONPATH=zip_path,
+        PKG_ZIP=zip_path,
+        SPARK_GRAFT_DRIVER_MEM="4g",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_WORK_DIR=str(tmp_path / "work"),
+    )
+    res = subprocess.run(
+        [sys.executable, str(script)],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ZIP_SMOKE_OK" in res.stdout, res.stdout
+
+
 # ---------------------------------------------------------------- streaming
 
 
