@@ -725,6 +725,46 @@ def pq_adc_rerank_topk(
     )
 
 
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 200,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full production trillion-vector ANN composition: IVF cells
+    prune the scan, PQ codes replace the floats, ADC builds a
+    ``shortlist``, exact cosine re-ranks it — FAISS's IVFPQ+refine
+    recipe as one declarative Spark plan.
+
+    Cost at 10^12 rows: the only corpus-sized pass reads nprobe/n_cells
+    of the 8-byte CODES table (cell is the storage partition key);
+    everything else is broadcast dimension data (centroids, the 512-row
+    ADC table, the shortlist ids) plus ``shortlist`` full-vector point
+    reads.  Recall comes from the re-rank: quantization error decides
+    only who makes the shortlist, not the final ranking."""
+    short = ivf_pq_topk(
+        emb, query_vec_id, shortlist, n_cells, nprobe, n_subs, n_cents, dim, id_col
+    ).select(id_col)
+    base = with_norm(emb)
+    q = base.filter(F.col(id_col) == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
+    )
+    c = dot(F.col("embedding"), F.col("qe")) / (F.col("_norm") * F.col("_qn"))
+    return (
+        base.join(F.broadcast(short), id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(id_col, round_half_away(c, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     query_vec_id: int = 0,

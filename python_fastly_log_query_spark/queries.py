@@ -2206,6 +2206,70 @@ def q_embedding_pq_rerank_topk(spark, sf):
     return pq_adc_rerank_topk(emb, 0, 10, 200)
 
 
+@register(
+    "embedding_ivf_pq_rerank_topk",
+    f"""
+WITH base AS (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(embedding, embedding)) AS nrm
+              FROM embeddings),
+icents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < 8),
+scored AS (SELECT b.vec_id, b.nrm, c.cell,
+                  list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
+           FROM base b CROSS JOIN icents c),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = 0),
+probe AS (SELECT cell FROM icents, q
+          ORDER BY list_dot_product(ce, qe) / (cn * qn) DESC, cell ASC LIMIT 4),
+pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM embeddings WHERE vec_id < 64),
+subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+expl AS (
+  SELECT e.vec_id, s.sub, c.cent_id, {{sqd_e}} AS d
+  FROM embeddings e, subs s, pcents c
+),
+codes AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code FROM (
+    SELECT vec_id, sub, cent_id,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cent_id ASC) AS rk
+    FROM expl) WHERE rk = 1
+),
+dist AS (
+  SELECT s.sub, CAST(c.cent_id AS INT) AS code, {{sqd_q}} AS qd
+  FROM pcents c, subs s, q
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell),
+short AS (
+  SELECT codes.vec_id FROM codes
+  JOIN cand ON codes.vec_id = cand.vec_id
+  JOIN dist ON codes.sub = dist.sub AND codes.code = dist.code
+  GROUP BY 1 ORDER BY round(sum(qd), 4) ASC, codes.vec_id ASC LIMIT 200
+)
+SELECT b.vec_id,
+       round(list_dot_product(b.embedding, q.qe) / (b.nrm * q.qn), 4) AS cosine
+FROM base b JOIN short ON b.vec_id = short.vec_id, q
+ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+""".format(
+        sqd_e=_pq_sqdist_sql("e.embedding", "c.pce"),
+        sqd_q=_pq_sqdist_sql("q.qe", "c.pce"),
+    ),
+)
+def q_embedding_ivf_pq_rerank_topk(spark, sf):
+    """The complete production ANN composition (similarity.py:
+    ivf_pq_rerank_topk): IVF cells prune the scan (nprobe=4 of 8), PQ
+    codes replace the floats (8 bytes/vector), ADC builds a 200-id
+    shortlist, exact cosine re-ranks it — FAISS's IVFPQ+refine as one
+    Catalyst plan whose only corpus-sized pass reads the pruned codes
+    table.  Oracle composes assignment, codes, probe, shortlist, and
+    re-rank relationally; both rankings use rounded scores with id
+    tie-breaks, so the result matches bitwise."""
+    from .operators.similarity import ivf_pq_rerank_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_pq_rerank_topk(emb, 0, 10, 200, 8, 4)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
