@@ -2270,6 +2270,48 @@ def q_embedding_ivf_pq_rerank_topk(spark, sf):
     return ivf_pq_rerank_topk(emb, 0, 10, 200, 8, 4)
 
 
+@register("ip_sessions_native", _REGISTRY["ip_sessions"][1])
+def q_ip_sessions_native(spark, sf):
+    """Sessionization via Spark's NATIVE ``session_window`` operator —
+    the idiomatic engine primitive (one merging-window aggregate, no
+    manual lag+cumsum) — proven equal to the window-function oracle the
+    other two sessionizers share.
+
+    Gap translation: ``session_window`` merges an event into the current
+    session iff event_time < session_end (= last_event + gap, strict
+    <), while the lag rule starts a new session iff diff > 1800 (strict
+    >, i.e. merges diff <= 1800).  Parsed log timestamps are WHOLE
+    seconds, so gap = 1801s makes the two rules identical: merge iff
+    diff < 1801 ⇔ diff <= 1800.  At fleet scale this plan is ONE
+    shuffle on ip_address with map-side partial session merging —
+    fewer passes than the lag+cumsum shape, but the same hot-key
+    serialization as any raw-key partitioning (the chunked variant
+    remains the skew-hardened path)."""
+    p = _parsed(spark, sf)
+    per_session = (
+        p.filter(F.col("ip_address").isNotNull() & F.col("timestamp").isNotNull())
+        .groupBy(
+            F.session_window("timestamp", "1801 seconds").alias("w"), "ip_address"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            (
+                F.max("timestamp").cast("long") - F.min("timestamp").cast("long")
+            ).alias("span_sec"),
+        )
+    )
+    return (
+        per_session.groupBy("ip_address")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.max("hits").alias("max_hits"),
+            F.max("span_sec").alias("max_span_sec"),
+        )
+        .orderBy(F.desc("sessions"), F.asc("ip_address"))
+        .limit(20)
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
