@@ -2312,6 +2312,90 @@ def q_ip_sessions_native(spark, sf):
     )
 
 
+@register(
+    "streaming_ip_totals",
+    L
+    + """
+SELECT ip_address, CAST(count(*) AS BIGINT) AS total_requests
+FROM logs WHERE ip_address IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_streaming_ip_totals(spark, sf):
+    """The CUSTOM STATEFUL operator under a full value oracle:
+    ``applyInPandasWithState`` keeps per-IP running totals across
+    micro-batches (streaming/jobs.py:ip_request_rate_stream); the
+    update-mode memory sink records one row per (ip, updating batch), so
+    the LAST update per ip — max(total_requests), totals are monotone —
+    must equal the plain batch GROUP BY count.  Closes §2.9's last
+    rows-only gap: every streaming operator family (rollup, dedup,
+    stateful) now carries a DuckDB-checked value contract."""
+    from .streaming.jobs import (
+        ip_request_rate_stream,
+        run_available_now,
+        stream_parse_docs,
+    )
+
+    work, name = _stream_scratch(spark, "stream_ip_totals")
+    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["timestamp", "ip_address"],
+        schema="event_id long, text string",
+    )
+    run_available_now(
+        ip_request_rate_stream(parsed), f"{work}/ckpt", queryName=name,
+        outputMode="update",
+    )
+    return (
+        spark.table(name)
+        .groupBy("ip_address")
+        .agg(F.max("total_requests").alias("total_requests"))
+    )
+
+
+@register("streaming_routed_counts", _REGISTRY["routed_status_class_counts"][1])
+def q_streaming_routed_counts(spark, sf):
+    """Routed fan-out AT INGESTION (north rule: "fan out rows to multiple
+    sinks keyed by routing rules" — here as a STREAM): parsed rows write
+    to a `partitionBy(route)` parquet sink directly from the streaming
+    query (exactly-once per checkpoint), one physical directory per
+    status class.  Reading the landed sink back and counting per route
+    must equal the batch routed counts — shares
+    `routed_status_class_counts`' oracle, proving the streaming sink
+    fan-out is row-equal to the batch fan-out on the same corpus."""
+    from pyspark.sql import functions as _F
+
+    from .streaming.jobs import stream_parse_docs
+
+    work, name = _stream_scratch(spark, "stream_routed")
+    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["timestamp", "status_code"],
+        schema="event_id long, text string",
+    )
+    routed = parsed.withColumn("route", status_class(F.col("status_code")))
+    q = (
+        routed.writeStream.format("parquet")
+        .option("path", f"{work}/routed")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .partitionBy("route")
+        .outputMode("append")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/routed")
+        .groupBy("route")
+        .agg(_F.count(_F.lit(1)).alias("rows_routed"))
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
