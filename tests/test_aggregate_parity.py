@@ -252,3 +252,45 @@ def test_sessionize_chunked_equals_plain_on_skewed_profile(spark):
     assert max(h for h, _ in got["10.0.0.1"]) == 3 * 24 * 3
     assert len(got["10.0.0.2"]) == 2
     assert len(got["10.0.0.3"]) == 1
+
+
+def test_sessionize_chunked_property(spark):
+    """Property check over adversarial pseudo-random event sets: duplicate
+    timestamps, gaps hugging the 30-min boundary (±1s), events at exact
+    chunk edges, and chunk sizes down to 1h — chunked must equal plain on
+    every draw.  Deterministic derivation from the case index (no RNG
+    state; a failure names its case)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.skew import sessionize_chunked
+
+    def h(case, i, salt):
+        return int.from_bytes(
+            hashlib.md5(f"{case}:{i}:{salt}".encode()).digest()[:6], "big"
+        )
+
+    base = 1_700_000_000
+    for case in range(6):
+        rows, t = [], base + h(case, 0, "t0") % 3600
+        n_ips = 1 + h(case, 0, "ips") % 4
+        for i in range(120):
+            ip = f"ip{h(case, i, 'ip') % n_ips}"
+            step_kind = h(case, i, "k") % 6
+            step = [0, 1, 1799, 1800, 1801, h(case, i, "s") % 9000][step_kind]
+            t += step
+            rows.append((ip, t, i))
+        events = spark.createDataFrame(
+            rows, "ip_address string, epoch long, event_id long"
+        ).select(
+            "ip_address", F.timestamp_seconds("epoch").alias("timestamp"), "event_id"
+        )
+        chunk_sec = [3600, 4 * 3600][case % 2]
+        got = _session_multiset(
+            sessionize_chunked(
+                events, "ip_address", "timestamp", "event_id", 1800, chunk_sec
+            )
+        )
+        want = _session_multiset(_plain_sessions(spark, events))
+        assert got == want, f"case {case} chunk_sec {chunk_sec}"
