@@ -566,3 +566,156 @@ def neardup_pipeline(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
     return {"groups": groups, "pairs": lsh_verified_pairs(reps, threshold, num_hashes, bands)}
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(count, order-independent checksum) of a canonical edge set —
+    cheap equality witness between iteration rounds."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(big, small))"), F.lit(0)).alias("ck"),
+    ).first()
+    return int(row["n"]), int(row["ck"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the O(log n)-round, all-DataFrame
+    algorithm that turns near-dup CANDIDATE PAIRS into duplicate
+    CLUSTERS.  This is the final stage of warehouse-scale dedup the pair
+    queries stop short of: reference analog is the duplicate-group
+    collapse of /root/reference/src/analyze/analytics.py's per-key
+    rollups, generalized to transitive duplicate identity.
+
+    Each round is two groupBy+join passes over the edge set:
+
+    - large-star: for every node u with neighborhood G(u), connect each
+      STRICTLY LARGER neighbor v > u to m = min(G(u) + {u});
+    - small-star: orient every edge toward its smaller endpoint, then
+      connect each smaller-or-equal neighbor (and u itself) to the
+      neighborhood minimum.
+
+    The edge set converges to disjoint stars rooted at each component's
+    minimum node id; rounds needed are logarithmic in the largest
+    component, NOT its diameter (naive label propagation over a chain of
+    k duplicates needs k rounds; this needs ~log k).  Skew note: a
+    giant component's root accumulates degree = component size, but each
+    round's shuffle keys are (node), and AQE splits oversized reduce
+    partitions; the giant-cluster guard (exact dedup first,
+    :func:`neardup_pipeline`) keeps component sizes at near-dup scale to
+    begin with.
+
+    Every round materializes via ``localCheckpoint(eager=True)`` — the
+    iterate-join lineage would otherwise grow two joins deeper per round
+    and the convergence checksum forces evaluation anyway.  On a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` for executor-loss tolerance (localCheckpoint blocks
+    recomputation past executor decommission).
+
+    Returns ``(node: long, component: long)`` for every node incident to
+    at least one non-loop edge; component = min node id reachable.
+    Callers map isolated nodes to themselves (coalesce after a left
+    join).  Raises RuntimeError if ``max_iter`` rounds do not converge
+    (log2-bounded in practice: 50 covers any feasible input).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("big"), F.least("a", "b").alias("small")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_fingerprint(e)
+    if prev[0] == 0:
+        return e.select(
+            F.col("big").alias("node"), F.col("small").alias("component")
+        )
+
+    for _ in range(max_iter):
+        # large-star: symmetric neighborhoods, larger neighbors -> min
+        sym = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
+            e.select(F.col("small").alias("u"), F.col("big").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        e = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .distinct()
+        )
+
+        # small-star: edges already oriented (big -> small); neighborhood
+        # of u is all-smaller, m = its minimum; connect each neighbor and
+        # u itself to m, dropping the self-loop on m.
+        mins2 = e.groupBy("big").agg(F.min("small").alias("m"))
+        nbr = (
+            e.join(mins2, "big")
+            .where(F.col("small") != F.col("m"))
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+        )
+        e = (
+            nbr.union(mins2.select(F.col("big"), F.col("m").alias("small")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        cur = _edge_fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
+        )
+
+    # converged star graphs: every edge is (member, root); roots map to
+    # themselves.
+    return (
+        e.select(F.col("big").alias("node"), F.col("small").alias("component"))
+        .union(
+            e.select(
+                F.col("small").alias("node"), F.col("small").alias("component")
+            )
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Per-document canonical keeper: the composed end-to-end dedup —
+    exact dedup (md5 text groups) -> MinHash-LSH + exact-Jaccard verify
+    over unique-text representatives (:func:`neardup_pipeline`) ->
+    :func:`connected_components` over the verified pairs -> every doc_id
+    mapped through its exact-group representative to the component
+    minimum.  Output ``(doc_id, keeper)``: keep rows where
+    doc_id == keeper, drop the rest — the exact shape a training-data
+    pipeline materializes before tokenization.
+    """
+    pipe = neardup_pipeline(docs, threshold, num_hashes, bands)
+    comp = connected_components(pipe["pairs"], "doc_a", "doc_b")
+    rep = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(pipe["groups"].select("fp", "keep_id"), "fp")
+        .select("doc_id", F.col("keep_id").alias("rep_id"))
+    )
+    return rep.join(
+        comp.withColumnRenamed("node", "rep_id"), "rep_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("rep_id")).alias("keeper")
+    )

@@ -2396,6 +2396,148 @@ def q_streaming_routed_counts(spark, sf):
     )
 
 
+# ---------------------------------------------------------------- clustering
+#
+# Transitive duplicate identity: the recursive CTE computes, for every
+# node of the verified-pair graph, the minimum label reachable over any
+# path — the same fixpoint the Spark side's alternating large-star /
+# small-star iteration converges to (operators/dedup.py:
+# connected_components), checked value-for-value.
+
+_CLUSTERS_CTE = (
+    "WITH RECURSIVE\n"
+    "groups AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),\n"
+    "reps_t AS (SELECT d.doc_id, d.text FROM documents d JOIN groups g ON d.doc_id = g.keep_id),\n"
+    + _SHINGLES_CTE.replace("FROM documents", "FROM reps_t")
+    + _LSH_BODY
+    + """, vp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id
+  WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM vp UNION ALL SELECT doc_b AS s, doc_a AS d FROM vp),
+reach(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+repmap AS (SELECT d.doc_id, g.keep_id AS rep_id FROM documents d JOIN groups g ON md5(d.text) = g.fp),
+keepers AS (
+  SELECT m.doc_id, CAST(coalesce(c.component, m.rep_id) AS BIGINT) AS keeper
+  FROM repmap m LEFT JOIN comp c ON m.rep_id = c.node
+)"""
+)
+
+
+@register("dedup_clusters", _CLUSTERS_CTE + "\nSELECT doc_id, keeper FROM keepers")
+def q_dedup_clusters(spark, sf):
+    """End-to-end dedup CLUSTERS, not pairs: exact dedup -> LSH +
+    Jaccard verify over representatives -> connected components
+    (large-star/small-star) -> every doc mapped to its canonical keeper.
+    The output a training-data pipeline actually materializes (keep rows
+    where doc_id == keeper).  Reference analog: the duplicate-collapse
+    semantics implied by /root/reference/src/analyze/analytics.py's
+    grouped rollups, lifted to transitive near-dup identity."""
+    from .operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup_clusters(docs, 0.5, _NH, _NB)
+
+
+@register(
+    "dedup_cluster_sizes",
+    _CLUSTERS_CTE
+    + "\nSELECT keeper, CAST(count(*) AS BIGINT) AS n_docs FROM keepers"
+    + "\nGROUP BY keeper HAVING count(*) >= 2",
+)
+def q_dedup_cluster_sizes(spark, sf):
+    """Multi-document duplicate clusters with member counts — the dedup
+    ratio report (how much of the corpus collapses, and into how many
+    canonical docs)."""
+    from .operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        dedup_clusters(docs, 0.5, _NH, _NB)
+        .groupBy("keeper")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+#
+# The versioned dimension is derived deterministically from the corpus
+# (5 config versions per event_type, valid_from staggered by an md5-
+# keyed day offset inside non-overlapping 6-day slots, so versions are
+# strictly increasing per key) — both engines rebuild the identical dim,
+# then the oracle uses DuckDB's NATIVE ASOF LEFT JOIN while Spark runs
+# operators/asof.py's union+window plan.  Agreement proves the custom
+# operator implements real ASOF semantics (latest valid_from <= ts,
+# ties take the new version, NULL before the first version).
+
+_ASOF_ORACLE = """
+WITH dim AS (
+  SELECT event_type,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_days(CAST(k * 6 + CAST('0x' || substr(md5(event_type || '-' || k), 1, 4) AS INT) % 6 AS INT))
+           AS valid_from,
+         CAST(k AS INT) AS config_id
+  FROM (SELECT DISTINCT event_type FROM events), range(5) t(k)
+)
+SELECT e.event_type, d.config_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(e.value) AS max_value
+FROM events e ASOF LEFT JOIN dim d
+  ON e.event_type = d.event_type AND e.ts >= d.valid_from
+GROUP BY e.event_type, d.config_id
+"""
+
+
+def _versioned_config_dim(events: DataFrame) -> DataFrame:
+    ks = F.explode(F.array(*[F.lit(k) for k in range(5)])).alias("k")
+    dday = (
+        F.col("k") * 6
+        + F.conv(
+            F.substring(F.md5(F.concat_ws("-", "event_type", "k")), 1, 4), 16, 10
+        ).cast("int")
+        % 6
+    )
+    return (
+        events.select("event_type")
+        .distinct()
+        .select("event_type", ks)
+        .withColumn("dday", dday)
+        .select(
+            "event_type",
+            F.expr(
+                "timestampadd(DAY, dday, timestamp'2024-01-01 00:00:00')"
+            ).alias("valid_from"),
+            F.col("k").cast("int").alias("config_id"),
+        )
+    )
+
+
+@register("asof_config_rollup", _ASOF_ORACLE)
+def q_asof_config_rollup(spark, sf):
+    """AS-OF JOIN — the custom operator Spark lacks: each event enriched
+    with the config version active at its timestamp (operators/asof.py:
+    one shuffle + running window, no inequality join / BNLJ), rolled up
+    per (event_type, config_id) with association-independent aggregates.
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identical dim."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = _versioned_config_dim(ev)
+    j = asof_join(ev, dim, on="event_type", ts="ts", payload=["config_id"])
+    return j.groupBy("event_type", "config_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
