@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling is the wrong tool at 100 TB: `rand()` is
+nondeterministic across retries (a recomputed task resamples, so a lost
+executor silently changes the dataset) and unreproducible across runs.
+Every operator here keys off a salted md5 of the stable document id
+instead — the same doc lands in the same split/sample on every run,
+every retry, every cluster size, and adding new docs never reshuffles
+old ones (the property that makes incremental corpus refreshes sane).
+
+All three are single-pass Column expressions or one window — no
+joins, no shuffles beyond the final aggregate / per-group window.
+
+Reference analog: the reference samples nothing (it reports over full
+scans, /root/reference/src/analyze/analytics.py); these are the
+corpus-construction extensions the north rule's training-data tier
+calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(id_col: F.Column, salt: str, buckets: int = 100) -> F.Column:
+    """Stable bucket in [0, buckets): first 8 md5 hex chars of the salted
+    id (32 bits — exact in BIGINT on both engines), mod buckets."""
+    h = F.md5(F.concat(F.lit(salt + "-"), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets).cast(
+        "int"
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Add a ``split`` column: 'train' / 'val' / 'test' by salted-hash
+    bucket — the canonical leakage-safe dataset split (membership is a
+    pure function of the id, so re-runs, retries, and corpus growth
+    never move a document across splits)."""
+    b = _hash_bucket(F.col(id_col), salt)
+    return docs.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def hash_sample(
+    docs: DataFrame, pct: F.Column | int, id_col: str = "doc_id", salt: str = "samp"
+) -> DataFrame:
+    """Keep a deterministic ``pct``% of rows (pct may be a per-row Column
+    — e.g. a per-language rate — for stratified sampling)."""
+    return docs.filter(_hash_bucket(F.col(id_col), salt) < pct)
+
+
+def capped_per_group(
+    docs: DataFrame, group: str, k: int, id_col: str = "doc_id", salt: str = "cap"
+) -> DataFrame:
+    """At most ``k`` rows per ``group`` (per-domain caps: stop one giant
+    host from dominating the corpus), chosen by salted-hash priority so
+    the retained subset is stable under re-runs AND under corpus growth
+    (new docs only displace old ones when they hash lower — no global
+    reshuffle).
+
+    One hash-partition + sort per group.  Skew note: a hot group (one
+    domain = 10% of the corpus) serializes its window partition; at that
+    profile pre-filter with an approximate per-group threshold first
+    (keep rows whose priority < ~k/n_g quantile, computed from a
+    count aggregate) so the exact window only sees ~k rows per group —
+    the same chunk-then-refine shape as the skew-hardened sessionizer
+    (operators/skew.py)."""
+    pri = F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

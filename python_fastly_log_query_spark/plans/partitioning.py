@@ -58,6 +58,10 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     production scale the scan already has >= defaultParallelism partitions
     and this is a no-op (plan inspection only, no shuffle).
     """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch splits come
+        # from maxFilesPerTrigger / source partitioning instead
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
         return df.repartition(target)

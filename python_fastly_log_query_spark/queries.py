@@ -2538,6 +2538,159 @@ def q_asof_config_rollup(spark, sf):
     )
 
 
+# ------------------------------------------------- streaming near-dup ingest
+
+
+@register(
+    "streaming_neardup_ingest",
+    _LSH_CTE
+    + """
+SELECT doc_a AS existing_id, doc_b AS new_id FROM pairs
+WHERE doc_a < (SELECT (max(doc_id) + 1) // 2 FROM documents)
+  AND doc_b >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+""",
+)
+def q_streaming_neardup_ingest(spark, sf):
+    """ONLINE near-dup detection at ingestion: the corpus's first half is
+    the existing warehouse (its banded MinHash signature table
+    materialized on disk — the durable stage of dedup.py), the second
+    half ARRIVES AS A STREAM; each micro-batch computes banded keys with
+    the same Column expressions (minhash is streaming-safe: no state, no
+    window) and STREAM-STATIC joins the signature table, emitting
+    (existing_id, new_id) candidate pairs exactly-once to a parquet
+    sink.  The streaming plan is STATELESS — candidate dedup happens
+    downstream at read-back (distinct), not in the state store, so state
+    never grows with corpus size (contrast dropDuplicates ingestion).
+    Oracle: the batch LSH pair set restricted to cross-half pairs."""
+    from .operators.dedup import banded_signature_keys
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mid = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
+    work, name = _stream_scratch(spark, "stream_neardup")
+
+    banded_signature_keys(docs.filter(F.col("doc_id") < mid), _NH, _NB).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/sig")
+    docs.filter(F.col("doc_id") >= mid).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        f"{work}/src"
+    )
+    skeys = banded_signature_keys(stream, _NH, _NB).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    sig = spark.read.parquet(f"{work}/sig").withColumnRenamed(
+        "doc_id", "existing_id"
+    )
+    cand = skeys.join(sig, ["band", "key"]).select("existing_id", "new_id")
+    q = (
+        cand.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("existing_id long, new_id long")
+        .parquet(f"{work}/out")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- sampling
+#
+# Deterministic corpus construction (operators/sampling.py): membership
+# is a pure function of the salted doc_id hash, so retries / re-runs /
+# corpus growth never move a document — `rand()` guarantees none of
+# that.  The oracles recompute the identical md5 buckets.
+
+_B = "CAST('0x' || substr(md5('{salt}-' || doc_id), 1, 8) AS BIGINT) % 100"
+
+
+@register(
+    "dataset_split_counts",
+    f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_B.format(salt='split')} < 80 THEN 'train'
+              WHEN {_B.format(salt='split')} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang
+""",
+)
+def q_dataset_split_counts(spark, sf):
+    """Leakage-safe train/val/test split: 80/10/10 by salted-hash bucket
+    of doc_id — stable across runs, retries, and corpus growth (the
+    property `randomSplit` lacks)."""
+    from .operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return split_assign(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "source_capped_sample",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap-' || doc_id) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+""",
+)
+def q_source_capped_sample(spark, sf):
+    """Per-domain cap: at most 20 docs per source by salted-hash
+    priority — stops one giant host from dominating the corpus, with a
+    retained set that is stable under re-runs and corpus growth."""
+    from .operators.sampling import capped_per_group
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return capped_per_group(docs, "source", 20).select("doc_id", "source")
+
+
+@register(
+    "stratified_sample_counts",
+    f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (
+         WHERE {_B.format(salt='samp')} < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+       ) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang
+""",
+)
+def q_stratified_sample_counts(spark, sf):
+    """Stratified deterministic sampling: downsample the dominant
+    language (en at 20%) while keeping 60% of the rest — per-row rate
+    Column into hash_sample, counted per language."""
+    from .operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (
+        hash_sample(docs, rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return total.join(kept, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -30,25 +30,27 @@ def _uf_components(edges):
     return {n: find(n) for n in parent}
 
 
-def _run(spark, edges):
+def _run(spark, edges, driver_max_edges=1_000_000):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_max_edges=driver_max_edges).collect()
     }
     return got
 
 
-def test_chain(spark):
+@pytest.mark.parametrize("dme", [0, 1_000_000])
+def test_chain(spark, dme):
     # a 9-node chain needs 8 label-propagation rounds but only ~log2 here
     edges = [(i, i + 1) for i in range(8)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_max_edges=dme)
     assert got == {i: 0 for i in range(9)}
 
 
-def test_two_components_and_cycle(spark):
+@pytest.mark.parametrize("dme", [0, 1_000_000])
+def test_two_components_and_cycle(spark, dme):
     edges = [(1, 2), (2, 3), (3, 1), (10, 11)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_max_edges=dme)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
@@ -64,20 +66,20 @@ def test_empty(spark):
     assert connected_components(df).columns == ["node", "component"]
 
 
+@pytest.mark.parametrize("dme", [0, 1_000_000])  # distributed AND driver path
 @pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 200, 150), (3, 80, 200)])
-def test_random_graph_matches_union_find(spark, seed, n, m):
+def test_random_graph_matches_union_find(spark, seed, n, m, dme):
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
-    edges = [(a, b) for a, b in edges]
     want = _uf_components([e for e in edges if e[0] != e[1]])
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_max_edges=dme)
     assert got == want
 
 
 def test_star_converges_fast(spark):
     # a pre-converged star must fingerprint-stabilize immediately
     edges = [(0, i) for i in range(1, 30)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, driver_max_edges=0)  # exercise the iteration
     assert set(got.values()) == {0} and len(got) == 30
 
 
