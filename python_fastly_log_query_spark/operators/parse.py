@@ -302,8 +302,16 @@ def parse_logs(
     at 100 TB the Arrow transfer of unused fields (``raw_line`` alone
     doubles the bytes) is the difference between a parse-bound and an
     IO-bound stage.
+
+    BINARY input (the ``html`` byte column of the web-pages table) is
+    accepted directly: bytes decode to UTF-8 JVM-side (vectorized
+    ``decode``, inside whole-stage codegen) before crossing the Arrow
+    boundary, so the Python stage always sees strings and the parse is
+    byte-identical whichever column carried the payload.
     """
     passthrough = passthrough or []
+    if dict(df.dtypes).get(line_col) == "binary":
+        df = df.withColumn(line_col, F.decode(F.col(line_col), "UTF-8"))
     out_cols = (
         [c for c in PARSED_ORDER if c in set(columns)] if columns is not None
         else PARSED_ORDER

@@ -2691,6 +2691,31 @@ def q_stratified_sample_counts(spark, sf):
     )
 
 
+@register("dedup_clusters_distributed", _REGISTRY["dedup_clusters"][1])
+def q_dedup_clusters_distributed(spark, sf):
+    """The DISTRIBUTED-path twin of `dedup_clusters` (same oracle):
+    driver_max_edges=0 forces the large-star/small-star iteration even on
+    a small pair graph, so the hard gate witnesses the 10^12-scale code
+    path, not just the union-find short-circuit."""
+    from .operators.dedup import connected_components, neardup_pipeline
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pipe = neardup_pipeline(docs, 0.5, _NH, _NB)
+    comp = connected_components(
+        pipe["pairs"], "doc_a", "doc_b", driver_max_edges=0
+    )
+    rep = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(pipe["groups"].select("fp", "keep_id"), "fp")
+        .select("doc_id", F.col("keep_id").alias("rep_id"))
+    )
+    return rep.join(
+        comp.withColumnRenamed("node", "rep_id"), "rep_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("rep_id")).alias("keeper")
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -3,7 +3,10 @@
 NULL before the first version, whole-version payload carry, and the
 no-inequality-join plan shape."""
 
-from datetime import datetime
+import random
+from datetime import datetime, timedelta
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -80,3 +83,34 @@ def test_asof_payload_defaults_to_all_dim_columns(spark):
     facts, dim = _frames(spark)
     explicit = asof_join(facts, dim, on="k", ts="ts", payload=["version"])
     assert "label" not in explicit.columns and "version" in explicit.columns
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_asof_random_matches_python_reference(spark, seed):
+    """Randomized cross-check: the union+window plan equals a direct
+    per-fact 'latest valid_from <= ts' scan in plain Python."""
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    facts = [
+        (i, rng.choice(keys), _ts("2024-01-01 00:00:00")
+         + timedelta(minutes=rng.randrange(0, 10_000)))
+        for i in range(120)
+    ]
+    dim = [
+        (k, _ts("2024-01-01 00:00:00") + timedelta(minutes=m), v)
+        for k in keys
+        for v, m in enumerate(sorted(rng.sample(range(0, 10_000), 4)))
+    ]
+    fdf = spark.createDataFrame(facts, "id long, k string, ts timestamp")
+    ddf = spark.createDataFrame(dim, "k string, valid_from timestamp, version int")
+
+    def ref(fk, fts):
+        cands = [(vf, v) for k, vf, v in dim if k == fk and vf <= fts]
+        return max(cands)[1] if cands else None
+
+    got = {
+        r["id"]: r["version"]
+        for r in asof_join(fdf, ddf, on="k", ts="ts").collect()
+    }
+    want = {i: ref(k, ts) for i, k, ts in facts}
+    assert got == want

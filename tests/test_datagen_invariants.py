@@ -37,3 +37,16 @@ def test_byte_identical_extracted_text_per_url(spark):
     assert parsed.count() == 3000
     # html column is the utf-8 encoding of text (input-table contract)
     assert docs.filter(F.decode("html", "UTF-8") != F.col("text")).count() == 0
+
+
+def test_parse_from_html_bytes_equals_text(spark):
+    """north rule input: the html BINARY column parses byte-identically
+    to the text column (JVM-side UTF-8 decode ahead of the Arrow stage)."""
+    from python_fastly_log_query_spark.operators.parse import parse_logs
+
+    docs = generate_docs(spark, 500, partitions=4)
+    cols = ["timestamp", "ip_address", "status_code", "response_size"]
+    a = parse_logs(docs, "text", columns=cols)
+    b = parse_logs(docs, "html", columns=cols)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    assert a.count() > 400  # malformed_pct only drops the junk tail
