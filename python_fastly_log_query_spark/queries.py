@@ -2716,6 +2716,29 @@ def q_dedup_clusters_distributed(spark, sf):
     )
 
 
+@register("asof_config_rollup_chunked", _ASOF_ORACLE)
+def q_asof_config_rollup_chunked(spark, sf):
+    """Skew-hardened twin of `asof_config_rollup` (same DuckDB native
+    ASOF-join oracle): operators/asof.py's chunked variant partitions
+    the carry window by (key, 4h time chunk) so one hot key fans out
+    across chunks instead of serializing into a single window task —
+    the plan you'd run when one event_type dominates at 100 TB.  The
+    carry-in stitch (dim state at each chunk start) is a dimension-
+    sized pass; exact-equal to the plain operator by construction."""
+    from .operators.asof import asof_join_chunked
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = _versioned_config_dim(ev)
+    j = asof_join_chunked(
+        ev, dim, on="event_type", ts="ts", payload=["config_id"],
+        chunk_seconds=4 * 3600,
+    )
+    return j.groupBy("event_type", "config_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
