@@ -1,0 +1,432 @@
+"""Corpus-cleaning operators for training-data pipelines.
+
+Fills the gap between near-dup detection (operators/dedup.py) and corpus
+construction (operators/sampling.py) with the standard web-text cleaning
+passes a C4/CCNet/Gopher-style pipeline runs between them:
+
+- :func:`dup_ngram_stats` — per-document duplicate-n-gram fraction (the
+  Gopher repetition-ACROSS-documents signal; `repetition_scores` in
+  queries.py is the within-document one).  Boilerplate n-grams (nav
+  bars, cookie banners) show up as grams shared by many documents.
+- :func:`contamination_stats` — per-document n-gram overlap against a
+  benchmark/eval gram set (train-test decontamination a la GPT-3
+  appendix C): eval sets are dimension-sized, so the check is one
+  broadcast join, never a shuffle of the corpus.
+- :func:`pack_sequences` — deterministic concatenate-and-chunk sequence
+  packing: documents are concatenated in stable order inside salted
+  hash buckets and sliced into fixed token windows; every doc's
+  (bucket, seq, offset) is a pure function of the corpus content, so
+  retries and re-runs rebuild byte-identical batches.
+- :func:`bloom_bitset` / :func:`incremental_dedup_bloom` — catch-up
+  ingestion dedup of a new batch against an existing corpus with a
+  broadcast Bloom prefilter: the corpus is SCANNED (bloom build, then
+  verify probe) but never SHUFFLED, and only bloom-positive candidates
+  reach the exact verify.
+
+Determinism contract (shared with dedup.py / sampling.py): every hash
+derives from ``md5`` of an explicit string — the DuckDB oracles in
+queries.py recompute byte-identical values; no RNG anywhere.
+
+Scale notes (100 TB):
+- ``dup_ngram_stats`` shuffles twice (gram hash, then doc_id) with
+  map-side partial aggregation; hot boilerplate grams are exactly the
+  skewed keys AQE's skew-join split handles on the count join-back,
+  and the gram→count side is one row per gram by construction.
+- ``contamination_stats`` broadcasts the eval gram set (benchmarks are
+  ~10^5-10^6 grams — megabytes); the corpus side is map-only.
+- ``pack_sequences`` windows inside uniform salted buckets — partition
+  size is corpus_tokens / buckets by construction, so `buckets` is the
+  knob that keeps the sort in executor memory; no global ordering is
+  ever materialized.
+- the Bloom bitset is driver-built from the DISTINCT bit positions (an
+  aggregate over the corpus, not a gather of it) and capped by
+  ``max_bits`` — an oversized request raises instead of silently
+  gathering (the `_emb_broadcast` guard convention).  At 10^12 docs a
+  single global bloom does not fit any broadcast; the honest deploy
+  shape is one bloom per corpus partition (time range / shard) checked
+  against the batch in sequence, or the durable signature-table
+  anti-join (dedup.build_signature_table) when the batch is large.
+
+Reference analog: the reference has no corpus operators (it is a log
+analyzer, /root/reference/src/analyze/analytics.py); these extend the
+driver brief's training-data tier.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import round_half_away
+from .dedup import word_shingles
+from .sampling import _hash_bucket
+
+# ------------------------------------------------------- duplicate n-grams
+
+
+def doc_ngrams(docs: DataFrame, n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into its DISTINCT word n-grams:
+    ``(doc_id, gram)``.  Distinct-per-doc makes the corpus-wide gram
+    count equal the number of documents containing the gram."""
+    return docs.select(
+        id_col,
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("gram"),
+    )
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Per-document duplicate-n-gram fraction.
+
+    A gram is "duplicated" when it appears in >= ``min_docs`` distinct
+    documents.  Returns ``(doc_id, n_ngrams, dup_ngrams, dup_frac)`` —
+    the across-corpus repetition signal used to drop boilerplate-heavy
+    pages (complement of the within-doc `repetition_scores`).
+
+    Plan: explode distinct grams -> count docs per gram (partial agg
+    map-side; gram keys are near-uniform except true boilerplate) ->
+    join counts back (one row per gram on the build side; AQE splits a
+    skewed probe partition) -> re-aggregate by doc.
+    """
+    grams = doc_ngrams(docs, n)
+    counts = grams.groupBy("gram").agg(F.count("*").alias("nd"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).alias("dup_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "dup_ngrams",
+            round_half_away(
+                F.col("dup_ngrams").cast("double") / F.col("n_ngrams"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+
+def contamination_stats(
+    train: DataFrame, eval_docs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Per-train-document n-gram overlap against an eval/benchmark set.
+
+    Returns ``(doc_id, n_ngrams, contaminated, contamination_frac)``
+    where ``contaminated`` counts the doc's distinct n-grams that occur
+    anywhere in ``eval_docs``.  The eval gram set is broadcast — at any
+    real scale benchmarks are dimension-sized, so the corpus side stays
+    map-only (scan -> explode -> broadcast-hash left join -> partial
+    agg); decontamination never shuffles the training corpus.
+    """
+    eval_grams = (
+        doc_ngrams(eval_docs, n).select("gram").distinct().withColumn("_hit", F.lit(1))
+    )
+    grams = doc_ngrams(train, n)
+    return (
+        grams.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "contaminated",
+            round_half_away(
+                F.col("contaminated").cast("double") / F.col("n_ngrams"), 4
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_tokens: int = 256,
+    buckets: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic concatenate-and-chunk packing of documents into
+    fixed-size training sequences.
+
+    Documents are assigned to a salted hash bucket, concatenated inside
+    the bucket in ``id_col`` order, and the token stream is sliced into
+    ``ctx_tokens`` windows.  Returns one row per document:
+    ``(doc_id, bucket, n_tokens, start_seq, end_seq, tok_offset)`` —
+    the sequence ids the doc spans and its token offset inside the
+    first one.
+
+    Everything is a pure function of (corpus, salt): task retries,
+    re-runs, and cluster size changes rebuild byte-identical batches —
+    which `repartition` + `monotonically_increasing_id` style packing
+    cannot promise.  Packing is bucket-local (one window per bucket, no
+    global order): standard practice, since training only needs SOME
+    deterministic order, and bucket-local keeps the sort partition at
+    corpus_tokens / buckets — `buckets` scales the plan, not the
+    semantics.
+    """
+    tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    bucket = _hash_bucket(F.col(id_col), "pack", buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(id_col, tok.alias("n_tokens"), bucket.alias("bucket"))
+        .withColumn("_cum", cum)
+        .select(
+            id_col,
+            "bucket",
+            "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / ctx_tokens).alias(
+                "start_seq"
+            ),
+            F.floor((F.col("_cum") - 1) / ctx_tokens).alias("end_seq"),
+            ((F.col("_cum") - F.col("n_tokens")) % ctx_tokens).alias("tok_offset"),
+        )
+    )
+
+
+def packed_seq_stats(packed: DataFrame, ctx_tokens: int = 256) -> DataFrame:
+    """Per-bucket packing manifest from :func:`pack_sequences` output:
+    ``(bucket, n_docs, n_seqs, total_tokens, fill_ratio)``.  fill_ratio
+    is total_tokens / (n_seqs * ctx) — how much of the allocated context
+    windows is real text (the tail sequence of each bucket is ragged)."""
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("end_seq") + 1).alias("n_seqs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_seqs",
+            "total_tokens",
+            round_half_away(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_seqs") * ctx_tokens),
+                4,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------- span dedup
+
+
+def doc_spans(docs: DataFrame, span_tokens: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """Chunk each document into consecutive NON-overlapping spans of
+    ``span_tokens`` whitespace words (the last span of a doc is ragged):
+    ``(doc_id, pos, span)``.  Pure Column expressions — sequence +
+    slice + array_join, no UDF."""
+    words = F.split(F.col("text"), r"\s+")
+    n_spans = F.floor((F.size(words) + span_tokens - 1) / span_tokens).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * span_tokens + 1, span_tokens), " "),
+    )
+    exploded = docs.select(id_col, F.posexplode(spans).alias("pos", "span"))
+    return exploded
+
+
+def span_dedup(
+    docs: DataFrame, span_tokens: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style global span-level deduplication: remove every repeated
+    occurrence of a token span across the corpus, keeping the FIRST
+    occurrence in ``(doc_id, pos)`` order, and rebuild each document's
+    cleaned text.  (C4 drops repeated three-sentence spans; the
+    synthetic corpus has no sentence boundaries, so the unit here is a
+    fixed ``span_tokens``-word chunk — same keep-first-globally
+    semantics.)
+
+    Returns ``(doc_id, n_spans, kept_spans, clean_md5)`` where
+    ``clean_md5`` hashes the doc's surviving spans joined in original
+    order (NULL when every span of the doc was seen earlier — the doc
+    is dropped entirely).
+
+    Plan: chunk (map-only) -> groupBy(span) min(struct(doc_id, pos))
+    keeper -> shuffle join back on span -> groupBy(doc_id) rebuild.
+    The keeper pass is a groupBy + equi-join rather than a window over
+    ``span`` so hot boilerplate spans (the 10^8-occurrence cookie
+    banner) hit AQE's skew-join split instead of serializing one
+    window partition; rebuild groups are doc-sized by construction.
+    """
+    spans = doc_spans(docs, span_tokens, id_col)
+    keepers = spans.groupBy("span").agg(
+        F.min(F.struct(id_col, "pos")).alias("_keep")
+    )
+    kept = spans.join(keepers, "span").withColumn(
+        "_is_first", F.struct(id_col, "pos") == F.col("_keep")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("_is_first").cast("long")).alias("kept_spans"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("_is_first"), F.struct("pos", "span"))
+                            )
+                        ),
+                        lambda x: x["span"],
+                    ),
+                )
+            ).alias("_md5"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "kept_spans",
+            F.when(F.col("kept_spans") > 0, F.col("_md5")).alias("clean_md5"),
+        )
+    )
+
+
+# ------------------------------------------------------------ bloom dedup
+
+
+def bloom_params(n_keys: int, bits_per_key: int = 10, n_hashes: int = 5):
+    """Bloom sizing from the corpus count: m = next power of two >=
+    bits_per_key * n (power of two only for SQL-mirrorable modulo; the
+    false-positive rate at 10 bits/key, k=5 is ~1%).  Input-driven for
+    the same reason `banded_params`/`minhash_params` are — a fixed m is
+    exactly the class of bug that degrades silently at the next scale
+    decade (an overloaded bloom returns maybe for everything and the
+    prefilter stops pruning)."""
+    m = 1 << max(6, math.ceil(math.log2(max(1, n_keys) * bits_per_key)))
+    return m, n_hashes
+
+
+def bloom_positions(fp: F.Column, m: int, k: int) -> F.Column:
+    """k bit positions for a fingerprint: 60-bit integers from the first
+    15 md5 hex chars of ``fp#i``, mod m — exact in BIGINT on both
+    engines (the sampling/_hash_bucket convention, widened)."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(fp, F.lit(f"#{i}"))), 1, 15), 16, 10
+                ).cast("bigint")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitset(fps: DataFrame, m: int, k: int, max_bits: int = 1 << 30):
+    """Build the bloom bitset for a fingerprint column ``fp``.
+
+    Distributed: explode each fp into its k positions and aggregate the
+    DISTINCT positions — the driver receives at most min(m, n*k) longs
+    (an aggregate over the corpus, never the corpus).  Returns a numpy
+    uint8 array of m/8 bytes.
+
+    Raises when m exceeds ``max_bits`` instead of silently building an
+    unbroadcastable bitset (1<<30 bits = 128 MiB, the practical
+    broadcast ceiling); see the module docstring for the per-partition
+    bloom shape beyond that.
+    """
+    if m > max_bits:
+        raise ValueError(
+            f"bloom bitset m={m} exceeds max_bits={max_bits} "
+            f"({m >> 23} MiB): broadcast blooms stop at ~128 MiB — "
+            "use per-partition blooms or the durable signature-table "
+            "anti-join (dedup.build_signature_table) instead"
+        )
+    pos = (
+        fps.select(F.explode(bloom_positions(F.col("fp"), m, k)).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    idx = np.fromiter((r["pos"] for r in pos), dtype=np.int64)
+    np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+    return bits
+
+
+def incremental_dedup_bloom(
+    corpus: DataFrame,
+    batch: DataFrame,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Dedup a new batch against an existing corpus without shuffling
+    the corpus: ``(doc_id, bloom_maybe, is_dup)`` per batch document.
+
+    1. fingerprint both sides (md5 of raw text — the exact-dup key);
+    2. build a corpus bloom (:func:`bloom_bitset`, input-sized m) and
+       broadcast the bitset;
+    3. batch rows test membership in a vectorized Arrow batch
+       (`pandas_udf` — a bitset probe has no Column encoding);
+    4. bloom-positive candidates are verified EXACTLY: the corpus is
+       probed with a broadcast-hash semi-join against the (tiny)
+       candidate fp set — map-only over the corpus — and the confirmed
+       dup fps come back as a second broadcast onto the batch.
+
+    The corpus is scanned three times (count for bloom sizing, bloom
+    build, verify probe) and shuffled zero times; the batch is scanned
+    once (persisted behind the Arrow probe) and never shuffled.  False
+    positives are
+    deterministic (md5), caught by the verify, and visible in the output
+    as ``bloom_maybe=1, is_dup=0`` rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    n = corpus.count()
+    m, k = bloom_params(n, bits_per_key, n_hashes)
+
+    cfp = corpus.select(F.md5(F.col("text")).alias("fp"))
+    bits = bloom_bitset(cfp, m, k)
+    bbits = spark.sparkContext.broadcast(bits)
+
+    @pandas_udf("boolean")
+    def maybe_in(pos: pd.Series) -> pd.Series:
+        bs = bbits.value
+        arr = np.vstack(pos.to_numpy())  # (rows, k) int64
+        hit = (bs[arr // 8] >> (arr % 8).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    from .dedup import selfjoin_ready
+
+    # the bloom-tested batch feeds three consumers (candidate set, verify,
+    # final output) — persist it once so the scan + Arrow probe run once
+    # (lifecycle-scoped: released by the registry wrapper / release_persists)
+    b = selfjoin_ready(
+        batch.select("doc_id", F.md5(F.col("text")).alias("fp")).withColumn(
+            "bloom_maybe", maybe_in(bloom_positions(F.col("fp"), m, k))
+        )
+    )
+
+    cands = b.filter(F.col("bloom_maybe")).select("fp").distinct()
+    true_dups = (
+        cfp.join(F.broadcast(cands), "fp", "leftsemi")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return b.join(F.broadcast(true_dups), "fp", "left").select(
+        "doc_id",
+        F.col("bloom_maybe").cast("int").alias("bloom_maybe"),
+        F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup"),
+    )

@@ -2739,6 +2739,180 @@ def q_asof_config_rollup_chunked(spark, sf):
     )
 
 
+# ------------------------------------------------------- corpus cleaning
+#
+# C4/CCNet/Gopher-style cleaning passes (operators/corpus.py): duplicate
+# n-gram fractions across the corpus, train-test decontamination against
+# a benchmark gram set, deterministic sequence packing, and bloom-
+# prefiltered catch-up dedup.  Same determinism contract as dedup.py:
+# every hash is md5 of an explicit string, recomputed by the oracles.
+
+_NGRAMS5 = """
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS lt FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(lt) >= 5
+             THEN list_transform(range(1, len(lt) - 3),
+                    i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]
+                         || ' ' || lt[i+3] || ' ' || lt[i+4])
+             ELSE [text] END)) AS gram
+     FROM toks)
+"""
+
+
+@register(
+    "dup_ngram_stats",
+    f"""
+WITH {_NGRAMS5},
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+       round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM g JOIN c USING (gram) GROUP BY g.doc_id
+""",
+)
+def q_dup_ngram_stats(spark, sf):
+    """Across-corpus duplicate-n-gram fraction per document (word
+    5-grams occurring in >= 2 docs) — the boilerplate signal
+    complementing the within-doc `repetition_scores`.  Explode distinct
+    grams -> corpus-wide gram counts (map-side partials) -> join back ->
+    per-doc fraction."""
+    from .operators.corpus import dup_ngram_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dup_ngram_stats(docs, n=5)
+
+
+@register(
+    "decontamination_stats",
+    """
+WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS lt FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(lt) >= 3
+              THEN list_transform(range(1, len(lt) - 1),
+                     i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2])
+              ELSE [text] END)) AS gram
+       FROM toks),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 23 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 23 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS contaminated,
+       round(CAST(sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 4) AS contamination_frac
+FROM tr LEFT JOIN ev USING (gram) GROUP BY tr.doc_id
+""",
+)
+def q_decontamination_stats(spark, sf):
+    """Train-test decontamination (GPT-3 appendix-C shape): per train
+    doc, the fraction of its word 3-grams that appear anywhere in the
+    eval set (here the deterministic doc_id % 23 == 0 slice standing in
+    for a benchmark).  The eval gram set is BROADCAST — the training
+    corpus is never shuffled by a decontamination pass."""
+    from .operators.corpus import contamination_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    tr = docs.filter(F.col("doc_id") % 23 != 0)
+    return contamination_stats(tr, ev, n=3)
+
+
+_PACK_CTE = r"""
+t AS (SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+             CAST(CAST('0x' || substr(md5('pack-' || doc_id), 1, 8) AS BIGINT)
+                  % 8 AS INT) AS bucket
+      FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+"""
+
+
+@register(
+    "packed_sequences",
+    f"""
+WITH {_PACK_CTE}
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor((cum - n_tokens) / 64) AS BIGINT) AS start_seq,
+       CAST(floor((cum - 1) / 64) AS BIGINT) AS end_seq,
+       CAST((cum - n_tokens) % 64 AS BIGINT) AS tok_offset
+FROM c
+""",
+)
+def q_packed_sequences(spark, sf):
+    """Deterministic concatenate-and-chunk sequence packing: docs
+    concatenated in doc_id order inside 8 salted hash buckets, sliced
+    into 64-token context windows; each doc's (bucket, start/end seq,
+    offset) is a pure function of the corpus — retries and re-runs
+    rebuild byte-identical batches."""
+    from .operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, ctx_tokens=64, buckets=8)
+
+
+@register(
+    "packed_seq_stats",
+    f"""
+WITH {_PACK_CTE},
+d AS (SELECT doc_id, bucket, n_tokens,
+             CAST(floor((cum - 1) / 64) AS BIGINT) AS end_seq FROM c)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(end_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / ((max(end_seq) + 1) * 64), 4)
+         AS fill_ratio
+FROM d GROUP BY bucket
+""",
+)
+def q_packed_seq_stats(spark, sf):
+    """Packing manifest per bucket: docs, sequences, token fill ratio
+    (tail sequences are ragged; everything else is exactly full)."""
+    from .operators.corpus import pack_sequences, packed_seq_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return packed_seq_stats(pack_sequences(docs, ctx_tokens=64, buckets=8), 64)
+
+
+@register(
+    "dedup_bloom_incremental",
+    """
+WITH corpusfp AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+batchfp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+p AS (SELECT CAST(pow(2, GREATEST(6, ceil(log2(count(*) * 10)))) AS BIGINT) AS m
+      FROM corpusfp),
+cpos AS (SELECT DISTINCT
+           CAST('0x' || substr(md5(fp || '#' || i), 1, 15) AS BIGINT) % m AS pos
+         FROM corpusfp, p, range(5) r(i)),
+bpos AS (SELECT doc_id, fp,
+           CAST('0x' || substr(md5(fp || '#' || i), 1, 15) AS BIGINT) % m AS pos
+         FROM batchfp, p, range(5) r(i)),
+mb AS (SELECT doc_id, fp,
+              CASE WHEN sum(CASE WHEN cpos.pos IS NULL THEN 1 ELSE 0 END) = 0
+                   THEN 1 ELSE 0 END AS bloom_maybe
+       FROM bpos LEFT JOIN cpos USING (pos) GROUP BY doc_id, fp)
+SELECT mb.doc_id, CAST(bloom_maybe AS INT) AS bloom_maybe,
+       CASE WHEN cf.fp IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM mb LEFT JOIN (SELECT DISTINCT fp FROM corpusfp) cf USING (fp)
+""",
+)
+def q_dedup_bloom_incremental(spark, sf):
+    """Catch-up ingestion dedup with a broadcast Bloom prefilter: a
+    re-crawled batch (doc_id % 3 == 0) checked against the existing
+    corpus (doc_id % 2 == 0).  The corpus is scanned twice (bloom
+    build, exact verify of bloom-positive candidates) and SHUFFLED
+    zero times; m is input-sized (bloom_params) so the filter never
+    silently degrades at the next scale decade.  Deterministic false
+    positives (md5 hashing) surface as bloom_maybe=1 / is_dup=0 rows
+    and the oracle replays the identical bit positions."""
+    from .operators.corpus import incremental_dedup_bloom
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_dedup_bloom(corpus, batch)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

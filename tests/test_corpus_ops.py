@@ -1,0 +1,166 @@
+"""Invariants for the corpus-cleaning operators (operators/corpus.py):
+duplicate-n-gram stats, decontamination overlap, sequence packing, and
+bloom-prefiltered incremental dedup.  The registered queries carry full
+DuckDB value oracles (tests/test_oracle_parity.py); these tests pin the
+semantic properties the oracles alone don't state."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_fastly_log_query_spark.operators.corpus import (
+    bloom_bitset,
+    bloom_params,
+    contamination_stats,
+    dup_ngram_stats,
+    incremental_dedup_bloom,
+    pack_sequences,
+    packed_seq_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------- dup_ngram_stats
+
+
+def test_dup_ngram_counts_known_corpus(spark):
+    # docs 0 and 1 share their whole text; doc 2 shares nothing
+    rows = [
+        "a b c d e f",          # 5-grams: "a b c d e", "b c d e f"
+        "a b c d e f",
+        "p q r s t u",
+    ]
+    out = {r["doc_id"]: r for r in dup_ngram_stats(_docs(spark, rows), n=5).collect()}
+    assert out[0]["n_ngrams"] == 2 and out[0]["dup_ngrams"] == 2
+    assert out[0]["dup_frac"] == 1.0
+    assert out[2]["dup_ngrams"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_dup_ngram_short_doc_is_whole_text_gram(spark):
+    # under n words the whole text is the single "gram"
+    rows = ["tiny doc", "tiny doc", "other one"]
+    out = {r["doc_id"]: r for r in dup_ngram_stats(_docs(spark, rows), n=5).collect()}
+    assert out[0]["n_ngrams"] == 1 and out[0]["dup_ngrams"] == 1
+    assert out[2]["dup_ngrams"] == 0
+
+
+# --------------------------------------------------- contamination_stats
+
+
+def test_contamination_counts_shared_grams(spark):
+    train = _docs(spark, ["a b c d", "x y z w"])
+    ev = spark.createDataFrame([(100, "a b c q")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in contamination_stats(train, ev, n=3).collect()
+    }
+    # train doc 0 grams: "a b c", "b c d" — only the first is in eval
+    assert out[0]["n_ngrams"] == 2 and out[0]["contaminated"] == 1
+    assert out[0]["contamination_frac"] == 0.5
+    assert out[1]["contaminated"] == 0
+
+
+# -------------------------------------------------------- pack_sequences
+
+
+def _pack_df(spark, n=60, ctx=16, buckets=4):
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 1..9 words, deterministic
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 9 + 1).cast("int"))
+        ).alias("text"),
+    )
+    return pack_sequences(docs, ctx_tokens=ctx, buckets=buckets)
+
+
+def test_packing_is_contiguous_within_bucket(spark):
+    ctx = 16
+    rows = _pack_df(spark, ctx=ctx).orderBy("bucket", "doc_id").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) > 1
+    for bucket, rs in by_bucket.items():
+        cum = 0
+        for r in rs:
+            # doc occupies tokens [cum, cum + n_tokens) of the bucket stream
+            assert r["start_seq"] == cum // ctx
+            assert r["tok_offset"] == cum % ctx
+            cum += r["n_tokens"]
+            assert r["end_seq"] == (cum - 1) // ctx
+
+
+def test_packing_invariant_under_input_partitioning(spark):
+    a = {r["doc_id"]: tuple(r) for r in _pack_df(spark).collect()}
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 9 + 1).cast("int"))
+        ).alias("text"),
+    ).repartition(7)
+    b = {
+        r["doc_id"]: tuple(r)
+        for r in pack_sequences(docs, ctx_tokens=16, buckets=4).collect()
+    }
+    assert a == b
+
+
+def test_packed_seq_stats_conserves_tokens(spark):
+    packed = _pack_df(spark, ctx=16)
+    stats = packed_seq_stats(packed, ctx_tokens=16).collect()
+    total = sum(r["total_tokens"] for r in stats)
+    direct = _pack_df(spark, ctx=16).agg(F.sum("n_tokens")).collect()[0][0]
+    assert total == direct
+    for r in stats:
+        assert 0 < r["fill_ratio"] <= 1.0
+        # tokens fit the allocated windows, and the allocation is tight:
+        # dropping the last (ragged) window would not fit
+        assert r["total_tokens"] <= r["n_seqs"] * 16
+        assert r["total_tokens"] > (r["n_seqs"] - 1) * 16
+
+
+# ----------------------------------------------------------- bloom dedup
+
+
+def test_bloom_params_power_of_two_and_monotone(spark):
+    m1, k = bloom_params(100)
+    m2, _ = bloom_params(10_000)
+    assert m1 & (m1 - 1) == 0 and m2 & (m2 - 1) == 0
+    assert m2 > m1 >= 100 * 10 // 2 and k == 5
+
+
+def test_bloom_bitset_oversize_raises(spark):
+    fps = spark.createDataFrame([("x",)], "fp string")
+    with pytest.raises(ValueError, match="max_bits"):
+        bloom_bitset(fps, 1 << 31, 5, max_bits=1 << 30)
+
+
+def test_incremental_bloom_no_false_negatives_and_exact_verify(spark):
+    # corpus: 200 docs; batch: 100 re-crawled dups + 100 genuinely new
+    corpus = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    batch = spark.range(100).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") * 2).cast("string")).alias("text"),
+    ).union(
+        spark.range(100).select(
+            (F.col("id") + 2000).alias("doc_id"),
+            F.concat(F.lit("new "), F.col("id").cast("string")).alias("text"),
+        )
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup_bloom(corpus, batch).collect()}
+    assert len(out) == 200
+    for i in range(100):
+        dup = out[1000 + i]
+        assert dup["is_dup"] == 1 and dup["bloom_maybe"] == 1  # no false negatives
+    for i in range(100):
+        assert out[2000 + i]["is_dup"] == 0  # verify kills false positives
+    # the prefilter actually prunes: most new docs never reach the verify
+    maybes = sum(r["bloom_maybe"] for r in out.values())
+    assert maybes < 200
