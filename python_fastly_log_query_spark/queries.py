@@ -2913,6 +2913,43 @@ def q_dedup_bloom_incremental(spark, sf):
     return incremental_dedup_bloom(corpus, batch)
 
 
+@register(
+    "span_dedup_stats",
+    r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS pos,
+             unnest(list_transform(
+                 range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(ws, i * 16 + 1, i * 16 + 16), ' ')))
+               AS span
+      FROM w),
+k AS (SELECT doc_id, pos, span,
+             CASE WHEN row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, pos) = 1
+                  THEN 1 ELSE 0 END AS kept
+      FROM s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(kept) AS BIGINT) AS kept_spans,
+       CASE WHEN sum(kept) > 0
+            THEN md5(string_agg(CASE WHEN kept = 1 THEN span END, ' '
+                                ORDER BY pos)) END AS clean_md5
+FROM k GROUP BY doc_id
+""",
+)
+def q_span_dedup_stats(spark, sf):
+    """C4-style global span dedup (keep the FIRST occurrence of every
+    16-word span corpus-wide, drop repeats, rebuild each doc): per-doc
+    span counts + md5 of the cleaned text.  Keeper selection is a
+    groupBy + equi-join (AQE-skew-splittable), not a window over the
+    span key — the hot boilerplate span is exactly the key that would
+    serialize a window partition."""
+    from .operators.corpus import span_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return span_dedup(docs, span_tokens=16)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -15,6 +15,7 @@ from python_fastly_log_query_spark.operators.corpus import (
     incremental_dedup_bloom,
     pack_sequences,
     packed_seq_stats,
+    span_dedup,
 )
 
 
@@ -164,3 +165,114 @@ def test_incremental_bloom_no_false_negatives_and_exact_verify(spark):
     # the prefilter actually prunes: most new docs never reach the verify
     maybes = sum(r["bloom_maybe"] for r in out.values())
     assert maybes < 200
+
+
+# ------------------------------------------------------------ span dedup
+
+
+def _span_dedup_py(rows, k):
+    """Reference keep-first span dedup in plain Python."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(rows):
+        ws = text.split()
+        spans = [" ".join(ws[i : i + k]) for i in range(0, len(ws), k)]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[doc_id] = (len(spans), len(kept), " ".join(kept) if kept else None)
+    return out
+
+
+def test_span_dedup_matches_python_reference(spark):
+    import hashlib
+
+    rows = [
+        "a b c d e f g h",            # spans (k=4): "a b c d", "e f g h"
+        "a b c d x y z w",            # first span repeated -> dropped
+        "a b c d e f g h",            # fully duplicated -> doc dropped
+        "m n",                        # ragged single span
+    ]
+    expect = _span_dedup_py(rows, 4)
+    got = {
+        r["doc_id"]: r for r in span_dedup(_docs(spark, rows), span_tokens=4).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n, kept, clean) in expect.items():
+        assert got[d]["n_spans"] == n
+        assert got[d]["kept_spans"] == kept
+        want_md5 = hashlib.md5(clean.encode()).hexdigest() if clean else None
+        assert got[d]["clean_md5"] == want_md5
+
+
+def test_span_dedup_keep_first_is_global_doc_order(spark):
+    # the keeper is the lowest (doc_id, pos) — doc 0 keeps, doc 1 drops,
+    # regardless of input partitioning
+    rows = ["s1 s2 s3 s4", "s1 s2 s3 s4"]
+    base = _docs(spark, rows)
+    for df in (base, base.repartition(5)):
+        got = {r["doc_id"]: r for r in span_dedup(df, span_tokens=4).collect()}
+        assert got[0]["kept_spans"] == 1 and got[1]["kept_spans"] == 0
+        assert got[1]["clean_md5"] is None
+
+
+def test_span_dedup_ragged_tail_distinct_from_prefix(spark):
+    # "a b" as a ragged tail span is NOT the same span as "a b c d"
+    rows = ["a b c d", "a b"]
+    got = {r["doc_id"]: r for r in span_dedup(_docs(spark, rows), span_tokens=4).collect()}
+    assert got[0]["kept_spans"] == 1 and got[1]["kept_spans"] == 1
+
+
+# ----------------------------------------------------- plan shape (scale)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontamination_never_shuffles_the_corpus(spark):
+    # the eval gram set is broadcast; the training side must be map-only
+    # up to the final per-doc aggregate (one shuffle on doc_id, none on
+    # the gram key)
+    train = _docs(spark, [f"w{i} w{i+1} w{i+2} w{i+3}" for i in range(50)])
+    ev = _docs(spark, ["w1 w2 w3"])
+    plan = _plan(contamination_stats(train, ev, n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only gram-keyed exchange is the EVAL side's distinct (dimension
+    # sized); the train side shuffles once, on doc_id, for the re-aggregate
+    assert plan.count("hashpartitioning(gram") == 1
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert plan.count("hashpartitioning(") == 2
+
+
+def test_span_dedup_plan_no_window_and_partial_min(spark):
+    # keeper selection must be a partial-aggregated groupBy + join, not a
+    # window over the span key (a hot boilerplate span would serialize a
+    # window partition; AQE can split a skewed join, not a window)
+    plan = _plan(span_dedup(_docs(spark, ["a b c d e f g h"] * 20), span_tokens=4))
+    assert "Window" not in plan
+    assert "partial_min(struct(doc_id" in plan
+
+
+def test_incremental_bloom_no_corpus_shuffle(spark):
+    # the corpus and batch are never hash-shuffled at full size: the bloom
+    # bitset is an aggregate-to-driver broadcast, verify is a broadcast
+    # semi-join, dup flags come back as a broadcast left join.  The only
+    # permitted exchanges are the CANDIDATE-fp distincts (bloom-positive
+    # rows — prefilter-sized, not corpus-sized)
+    corpus = _docs(spark, [f"c {i}" for i in range(100)])
+    batch = spark.createDataFrame(
+        [(1000 + i, f"c {i * 2}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = _plan(incremental_dedup_bloom(corpus, batch))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(fp")
