@@ -62,7 +62,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.columns import round_half_away
-from .dedup import word_shingles
 from .sampling import _hash_bucket
 
 # ------------------------------------------------------- duplicate n-grams
@@ -71,11 +70,25 @@ from .sampling import _hash_bucket
 def doc_ngrams(docs: DataFrame, n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """Explode each document into its DISTINCT word n-grams:
     ``(doc_id, gram)``.  Distinct-per-doc makes the corpus-wide gram
-    count equal the number of documents containing the gram."""
-    return docs.select(
-        id_col,
-        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("gram"),
-    )
+    count equal the number of documents containing the gram.
+
+    The token array is materialized in its OWN projection before the
+    gram transform: higher-order lambdas run interpreted, where a
+    `split(text)` referenced inside the lambda body re-evaluates per
+    element access (n evaluations per gram — O(tokens * n) splits per
+    document).  Binding it to an attribute makes each gram one `slice`
+    + `array_join` over the already-split array.  Same gram values as
+    :func:`dedup.word_shingles` (single-space split, whole-text
+    fallback under n words)."""
+    toks = docs.select(id_col, "text", F.split(F.col("text"), " ").alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return toks.select(id_col, F.explode(F.array_distinct(grams)).alias("gram"))
 
 
 def dup_ngram_stats(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
@@ -90,8 +103,15 @@ def dup_ngram_stats(docs: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame
     map-side; gram keys are near-uniform except true boilerplate) ->
     join counts back (one row per gram on the build side; AQE splits a
     skewed probe partition) -> re-aggregate by doc.
+
+    The exploded gram frame feeds BOTH join sides, so it is persisted
+    (lifecycle-scoped, the selfjoin_ready contract) — without it the
+    interpreted shingle transform runs once per side, the dominant cost
+    of the whole query (measured ~2x end to end).
     """
-    grams = doc_ngrams(docs, n)
+    from .dedup import selfjoin_ready
+
+    grams = selfjoin_ready(doc_ngrams(docs, n))
     counts = grams.groupBy("gram").agg(F.count("*").alias("nd"))
     return (
         grams.join(counts, "gram")
@@ -299,6 +319,84 @@ def span_dedup(
             "kept_spans",
             F.when(F.col("kept_spans") > 0, F.col("_md5")).alias("clean_md5"),
         )
+    )
+
+
+# ----------------------------------------------------------- yield funnel
+
+
+def corpus_yield(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    min_tokens: int = 20,
+    min_unique_num: int = 1,
+    min_unique_den: int = 2,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+) -> DataFrame:
+    """End-to-end training-corpus prep funnel: one row per cleaning
+    stage with surviving ``(stage, n_docs, n_tokens)`` — the yield
+    report every data pipeline publishes next to its training runs.
+
+    Stages: raw -> exact dedup (keep min doc_id per md5(text)) ->
+    global span dedup (docs whose every span was seen earlier are
+    dropped; token counts shrink to the KEPT spans) -> quality floor
+    (>= ``min_tokens`` kept tokens AND kept_spans/n_spans >=
+    ``min_unique_num/min_unique_den`` — the ratio is compared in
+    integers so the cut is exact on both engines) -> language filter.
+
+    Scale shape: a linear funnel — each stage is a narrow filter over
+    the previous stage's survivors; the one corpus-wide shuffle is the
+    span-keeper groupBy+join (same plan as :func:`span_dedup`).  The
+    per-doc span stats frame feeds three stages and is persisted
+    (lifecycle-scoped via selfjoin_ready).
+    """
+    from .dedup import selfjoin_ready
+
+    tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    base = docs.select("doc_id", "text", "lang", tok.alias("n_tokens"))
+
+    keepers = base.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    s1 = selfjoin_ready(base.join(keepers, "doc_id", "leftsemi"))
+
+    spans = doc_spans(s1, span_tokens)
+    span_keep = spans.groupBy("span").agg(F.min(F.struct("doc_id", "pos")).alias("_keep"))
+    per_doc = selfjoin_ready(
+        spans.join(span_keep, "span")
+        .withColumn("_is_first", F.struct("doc_id", "pos") == F.col("_keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("_is_first").cast("long")).alias("kept_spans"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_is_first"),
+                        F.size(F.split(F.col("span"), r"\s+")).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("kept_tokens"),
+        )
+        .join(s1.select("doc_id", "lang"), "doc_id")
+    )
+    s2 = per_doc.filter(F.col("kept_spans") > 0)
+    s3 = s2.filter(
+        (F.col("kept_tokens") >= min_tokens)
+        & (F.col("kept_spans") * min_unique_den >= F.col("n_spans") * min_unique_num)
+    )
+    s4 = s3.filter(F.col("lang").isin(*langs))
+
+    def _stage(name: str, df: DataFrame, tokens_col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"), F.sum(tokens_col).alias("n_tokens")
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        _stage("00_raw", base, "n_tokens")
+        .unionAll(_stage("01_exact_dedup", s1, "n_tokens"))
+        .unionAll(_stage("02_span_dedup", s2, "kept_tokens"))
+        .unionAll(_stage("03_quality", s3, "kept_tokens"))
+        .unionAll(_stage("04_lang", s4, "kept_tokens"))
     )
 
 

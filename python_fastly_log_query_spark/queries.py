@@ -2950,6 +2950,63 @@ def q_span_dedup_stats(spark, sf):
     return span_dedup(docs, span_tokens=16)
 
 
+@register(
+    "corpus_yield_funnel",
+    r"""
+WITH base AS (SELECT doc_id, text, lang,
+                     CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+kx AS (SELECT min(doc_id) AS keep_id FROM base GROUP BY md5(text)),
+s1 AS (SELECT * FROM base WHERE doc_id IN (SELECT keep_id FROM kx)),
+w AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS ws FROM s1),
+sp AS (SELECT doc_id,
+              unnest(range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT))) AS pos,
+              unnest(list_transform(
+                  range(0, CAST(ceil(len(ws) / 16.0) AS BIGINT)),
+                  i -> array_to_string(list_slice(ws, i * 16 + 1, i * 16 + 16), ' ')))
+                AS span
+       FROM w),
+kp AS (SELECT doc_id, pos, span,
+              CASE WHEN row_number() OVER (PARTITION BY span
+                                           ORDER BY doc_id, pos) = 1
+                   THEN 1 ELSE 0 END AS kept
+       FROM sp),
+pd AS (SELECT kp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(sum(kept) AS BIGINT) AS kept_spans,
+              CAST(COALESCE(sum(CASE WHEN kept = 1
+                   THEN len(string_split_regex(span, '\s+')) END), 0) AS BIGINT)
+                AS kept_tokens,
+              any_value(w.lang) AS lang
+       FROM kp JOIN w USING (doc_id) GROUP BY kp.doc_id),
+s2 AS (SELECT * FROM pd WHERE kept_spans > 0),
+s3 AS (SELECT * FROM s2 WHERE kept_tokens >= 20 AND kept_spans * 2 >= n_spans),
+s4 AS (SELECT * FROM s3 WHERE lang IN ('en', 'de', 'fr', 'es'))
+SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT '01_exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT) FROM s1
+UNION ALL SELECT '02_span_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(kept_tokens) AS BIGINT) FROM s2
+UNION ALL SELECT '03_quality', CAST(count(*) AS BIGINT),
+       CAST(sum(kept_tokens) AS BIGINT) FROM s3
+UNION ALL SELECT '04_lang', CAST(count(*) AS BIGINT),
+       CAST(sum(kept_tokens) AS BIGINT) FROM s4
+""",
+)
+def q_corpus_yield_funnel(spark, sf):
+    """End-to-end corpus prep yield report: per-stage surviving doc and
+    token counts through raw -> exact dedup -> global span dedup ->
+    quality floor (>=20 kept tokens, >=1/2 unique spans, compared in
+    integers) -> language filter.  The one corpus-wide shuffle is the
+    span-keeper pass; every later stage is a narrow filter over the
+    persisted per-doc span stats."""
+    from .operators.corpus import corpus_yield
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return corpus_yield(docs, span_tokens=16)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

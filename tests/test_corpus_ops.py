@@ -225,6 +225,35 @@ def test_span_dedup_ragged_tail_distinct_from_prefix(spark):
     assert got[0]["kept_spans"] == 1 and got[1]["kept_spans"] == 1
 
 
+# ----------------------------------------------------------- yield funnel
+
+
+def test_corpus_yield_each_stage_drops_the_right_doc(spark):
+    from python_fastly_log_query_spark.operators.corpus import corpus_yield
+
+    long_en = " ".join(f"u{i}" for i in range(24))       # survives everything
+    rows = [
+        (0, long_en, "en"),
+        (1, long_en, "en"),                               # exact dup -> dropped at s1
+        (2, " ".join(f"u{i}" for i in range(4, 8)), "en"),  # spans already seen -> s2
+        (3, "v1 v2 v3 v4", "en"),                         # unique but < 20 tokens -> s3
+        (4, " ".join(f"w{i}" for i in range(24)), "xx"),  # good text, wrong lang -> s4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["stage"]: r for r in corpus_yield(docs, span_tokens=4).collect()}
+    assert out["00_raw"]["n_docs"] == 5
+    assert out["01_exact_dedup"]["n_docs"] == 4
+    assert out["02_span_dedup"]["n_docs"] == 3
+    assert out["03_quality"]["n_docs"] == 2
+    assert out["04_lang"]["n_docs"] == 1
+    # doc 0 survives to the end with all 24 tokens
+    assert out["04_lang"]["n_tokens"] == 24
+    # monotone: every stage keeps <= the previous stage
+    seq = [out[s] for s in sorted(out)]
+    for a, b in zip(seq, seq[1:]):
+        assert b["n_docs"] <= a["n_docs"] and b["n_tokens"] <= a["n_tokens"]
+
+
 # ----------------------------------------------------- plan shape (scale)
 
 
