@@ -322,6 +322,128 @@ def span_dedup(
     )
 
 
+# ------------------------------------------------------ distinctive terms
+
+
+def top_terms_per_doc(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` distinctive terms — the TF-IDF shape with a
+    rational specificity score: rank by ``tf / (df + 1)`` (term frequency
+    in the doc over corpus document frequency), ties broken by term.
+
+    Returns ``(doc_id, term, tf, df, rank)``.  The score is one exact
+    IEEE division of two integers (identical rounding on any engine), so
+    the ranking — and therefore the output — is bit-deterministic; a
+    log-smoothed idf would rank near-identically but hangs the result on
+    transcendental-function ulps.  Keyword extraction, dedup-key
+    selection, and topic drill-downs all consume this shape.
+
+    Plan: explode words -> (doc, term) tf counts (map-side partials) ->
+    term df counts (one row per term) -> equi-join back (AQE skew-split
+    for stopword-grade hot terms) -> per-doc ranking window (doc-sized
+    partitions).  Same two-shuffle skeleton as :func:`dup_ngram_stats`.
+    """
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") / (F.col("df") + 1)).desc(), F.col("term")
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+# ---------------------------------------------------------- PII redaction
+
+# (name, pattern, replacement) applied IN ORDER — order is part of the
+# contract (an email is redacted before the ipv4 pass can see its
+# dotted-quad-looking domain).  Patterns stay inside the Java-regex /
+# RE2 shared dialect (char classes, bounded repeats, \b, no lookaround,
+# no backrefs) so the DuckDB oracle replays them byte-identically.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    rules: list[tuple[str, str, str]] = PII_RULES,
+) -> DataFrame:
+    """Sequential regex PII scrub — the redaction pass every released
+    web-text corpus runs (emails / IPs / phone numbers → typed tokens).
+
+    Returns the input columns minus ``text_col`` plus, per rule, an
+    ``n_<name>`` match count (counted on the text AS THAT RULE SEES IT,
+    i.e. after the preceding replacements) and the final
+    ``clean_text``.  Everything is a chain of JVM-side
+    ``regexp_extract_all`` / ``regexp_replace`` Column expressions —
+    map-only, zero shuffle, whole-stage-codegen'd; at 10^12 docs this
+    pass costs exactly one scan and is embarrassingly parallel.
+
+    Determinism: both Java regex and RE2 use leftmost, non-overlapping
+    greedy matching for this dialect subset, so counts and the redacted
+    bytes are bit-identical cross-engine (oracled in queries.py down to
+    the redacted-text md5).
+    """
+    expr = F.col(text_col)
+    counts = []
+    for name, pat, repl in rules:
+        counts.append(
+            F.size(F.regexp_extract_all(expr, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        expr = F.regexp_replace(expr, pat, repl)
+    keep = [c for c in docs.columns if c != text_col]
+    return docs.select(*keep, *counts, expr.alias("clean_text"))
+
+
+# ------------------------------------------------------- vocab coverage
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus's own
+    top-``vocab_size`` term list — the OOV-rate signal tokenizer and
+    filtering stages key on (a doc whose tokens are mostly outside the
+    corpus vocabulary is boilerplate, another language, or junk).
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_ppm)`` with ``oov_ppm``
+    computed in BIGINT ppm arithmetic (no float).
+
+    Plan: explode words → term counts (one shuffle, map-side partials)
+    → global top-k via ``orderBy().limit()`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    ``vocab_size`` rows), NOT a single-partition global sort window, so
+    the vocab cut scales to 10^8 distinct terms — → broadcast the
+    vocab dim back onto the exploded words → per-doc rollup (second
+    shuffle).  The corpus is scanned twice (tf build + coverage) rather
+    than persisting the exploded frame: at 100 TB a corpus-sized cache
+    is a liability, a second columnar scan is not.  Ties at the vocab
+    boundary break by term (count desc, term asc) — bit-deterministic.
+    """
+    words = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    vocab = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+        .orderBy(F.desc("ctf"), "term")
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("n_oov * 1000000L div n_tokens"))
+    )
+
+
 # ----------------------------------------------------------- yield funnel
 
 

@@ -60,6 +60,99 @@ def hash_sample(
     return docs.filter(_hash_bucket(F.col(id_col), salt) < pct)
 
 
+def mixture_rates(
+    docs: DataFrame,
+    budget_tokens: int,
+    shares_ppm: dict[str, int],
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language sampling-rate plan for a target corpus mixture:
+    given a total token ``budget`` and target shares (ppm), compute each
+    language's keep rate from its ACTUAL token mass.
+
+    Returns ``(lang, actual_tokens, share_ppm, target_tokens,
+    rate_ppm)`` — one row per language in ``shares_ppm``.  All
+    arithmetic is integer (ppm granularity, BIGINT `div`): the plan is
+    bit-identical on any engine and never hits the >2^53 double-
+    precision cliff that ``budget * share / 1e6`` float math has at
+    trillion-token budgets.  Languages over their target get
+    ``rate_ppm < 1e6`` (downsampled); under-target languages cap at
+    1e6 (keep everything — upsampling is a repetition decision, not a
+    sampling one).
+
+    Plan: one groupBy(lang) aggregate (dimension-sized result) joined
+    to the broadcast shares dim — the corpus is scanned once, never
+    shuffled beyond the map-side-combined lang rollup.
+    """
+    spark = docs.sparkSession
+    sh = spark.createDataFrame(
+        sorted((l, int(p)) for l, p in shares_ppm.items()),
+        f"{lang_col} string, share_ppm long",
+    )
+    tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    actual = docs.groupBy(lang_col).agg(F.sum(tok).alias("actual_tokens"))
+    target = F.expr(f"{int(budget_tokens)}L * share_ppm div 1000000")
+    return (
+        actual.join(F.broadcast(sh), lang_col)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("target_tokens * 1000000L div actual_tokens"),
+            ),
+        )
+    )
+
+
+def mixture_resample_report(
+    docs: DataFrame,
+    budget_tokens: int,
+    shares_ppm: dict[str, int],
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply the :func:`mixture_rates` plan with the deterministic
+    salted-hash keep rule (doc kept iff its ppm bucket < the language's
+    rate) and report per language: ``(lang, actual_tokens,
+    target_tokens, rate_ppm, sampled_docs, sampled_tokens)``.
+
+    The rate table is broadcast onto the corpus — applying a mixture is
+    one map-only filter pass; languages whose sample came back empty
+    still report a row (left join from the plan side, counts 0).  The
+    dimension-sized rate frame feeds two consumers and is persisted
+    (lifecycle-scoped) so the corpus-wide lang rollup runs once."""
+    from .dedup import selfjoin_ready
+
+    rates = selfjoin_ready(mixture_rates(docs, budget_tokens, shares_ppm, lang_col))
+    tok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    kept = (
+        docs.select(id_col, lang_col, tok.alias("n_tokens"))
+        .join(F.broadcast(rates.select(lang_col, "rate_ppm")), lang_col)
+        .filter(
+            _hash_bucket(F.col(id_col), salt, 1_000_000).cast("long")
+            < F.col("rate_ppm")
+        )
+    )
+    agg = kept.groupBy(lang_col).agg(
+        F.count("*").alias("sampled_docs"), F.sum("n_tokens").alias("sampled_tokens")
+    )
+    return (
+        rates.join(agg, lang_col, "left")
+        .select(
+            lang_col,
+            "actual_tokens",
+            "target_tokens",
+            "rate_ppm",
+            F.coalesce("sampled_docs", F.lit(0).cast("long")).alias("sampled_docs"),
+            F.coalesce("sampled_tokens", F.lit(0).cast("long")).alias(
+                "sampled_tokens"
+            ),
+        )
+    )
+
+
 def capped_per_group(
     docs: DataFrame, group: str, k: int, id_col: str = "doc_id", salt: str = "cap"
 ) -> DataFrame:

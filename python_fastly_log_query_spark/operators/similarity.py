@@ -560,6 +560,80 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    mode: str = "auto",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, compute pairwise cosine
+    within each cluster only, and for every pair above ``threshold``
+    keep the member with the LOWER similarity to its cluster centroid
+    (the paper's keep-the-outlier rule — centroid-near members are the
+    redundant ones).
+
+    The paper's sequential per-cluster scan is expressed relationally —
+    no iteration, no transitive closure: order each cluster by
+    ``(centroid_cosine asc, id asc)`` and drop exactly the rows that
+    appear as the LATER element of any above-threshold pair.  This is
+    bit-equivalent to the reference implementation's "iterate in order,
+    drop i if any earlier j has cos(i,j) > τ" loop.
+
+    Returns one row per vector: ``(id, cell, is_dup)``.
+
+    Plan: :func:`ivf_assign` cells (deterministic codebook; swap in
+    trained k-means centroids at deploy), broadcast centroid join for
+    the ordering key, ONE shuffle of the table on ``cell`` for the
+    within-cell self-join (the csim/id ordering predicate rides along
+    as a join filter), candidate cosines batched through numpy
+    (:func:`exact_cosine_pairs` — ``_dot_left``, bit-identical to the
+    SQL oracle's list fold).  Scale contract is the paper's own:
+    ``n_cells`` grows with N (SemDeDup uses ~10^5 clusters) so cluster
+    size — and the within-cell pair count — stays bounded; cell is the
+    storage partition key at 10^12 rows, making the self-join
+    co-located instead of shuffled.
+    """
+    assign = ivf_assign(emb, n_cells, id_col)
+    cents = assign.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"),
+        F.col("embedding").alias("_ce"),
+        F.col("_norm").alias("_cn"),
+    )
+    csim = dot(F.col("embedding"), F.col("_ce")) / (F.col("_norm") * F.col("_cn"))
+    ordered = assign.join(F.broadcast(cents), "cell").select(
+        id_col, "cell", csim.alias("_csim")
+    )
+    a = ordered.select(
+        F.col(id_col).alias("_ka"), F.col("cell"), F.col("_csim").alias("_sa")
+    )
+    b = ordered.select(
+        F.col(id_col).alias("_kb"), F.col("cell").alias("_cb"), F.col("_csim").alias("_sb")
+    )
+    earlier = (F.col("_sa") < F.col("_sb")) | (
+        (F.col("_sa") == F.col("_sb")) & (F.col("_ka") < F.col("_kb"))
+    )
+    cand = a.join(b, (F.col("cell") == F.col("_cb")) & earlier).select(
+        F.col("_ka").alias("vec_a"), F.col("_kb").alias("vec_b")
+    )
+    cos = exact_cosine_pairs(cand, emb, id_col=id_col, mode=mode)
+    dropped = (
+        cos.filter(F.col("cosine") > threshold)
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return ordered.join(dropped, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce("_dup", F.lit(0)).cast("int").alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------- PQ
 
 # Product quantization: split the vector into PQ_SUBS subspaces and store

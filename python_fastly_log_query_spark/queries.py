@@ -3007,6 +3007,233 @@ def q_corpus_yield_funnel(spark, sf):
     return corpus_yield(docs, span_tokens=16)
 
 
+@register(
+    "top_terms_per_doc",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY CAST(tf.tf AS DOUBLE) / (df.df + 1) DESC, tf.term
+             ) AS INT) AS rank
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3
+""",
+)
+def q_top_terms_per_doc(spark, sf):
+    """Top-3 distinctive terms per document by the rational specificity
+    score tf/(df+1) — TF-IDF's ranking without transcendental-ulp
+    nondeterminism; output is all-integer/string, bit-safe under any
+    canonicalizer."""
+    from .operators.corpus import top_terms_per_doc
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return top_terms_per_doc(docs, k=3)
+
+
+@register(
+    "mixture_resample_report",
+    r"""
+WITH sh(lang, share_ppm) AS (VALUES ('en', CAST(400000 AS BIGINT)),
+                                    ('zh', 150000), ('es', 150000),
+                                    ('de', 150000), ('fr', 150000)),
+base AS (SELECT doc_id, lang,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                  AS n_tokens
+         FROM documents),
+act AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS actual_tokens
+        FROM base GROUP BY lang),
+r AS (SELECT act.lang, actual_tokens, share_ppm,
+             CAST(10000 * share_ppm // 1000000 AS BIGINT) AS target_tokens,
+             CAST(LEAST(1000000,
+                  ((10000 * share_ppm // 1000000) * 1000000) // actual_tokens)
+               AS BIGINT) AS rate_ppm
+      FROM act JOIN sh USING (lang)),
+s AS (SELECT b.lang, b.n_tokens
+      FROM base b JOIN r USING (lang)
+      WHERE CAST('0x' || substr(md5('mix-' || b.doc_id), 1, 8) AS BIGINT)
+            % 1000000 < rate_ppm),
+ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS sampled_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+       FROM s GROUP BY lang)
+SELECT r.lang, actual_tokens, target_tokens, rate_ppm,
+       COALESCE(sampled_docs, 0) AS sampled_docs,
+       COALESCE(sampled_tokens, 0) AS sampled_tokens
+FROM r LEFT JOIN ag USING (lang)
+""",
+)
+def q_mixture_resample_report(spark, sf):
+    """Target-mixture resampling plan + application: per-language keep
+    rates for a 10k-token budget at shares en 40% / zh,es,de,fr 15%
+    (integer ppm arithmetic — no float cliff at trillion-token
+    budgets), applied with the deterministic salted-hash keep rule;
+    reports actual/target/rate and the sampled doc/token mass per
+    language."""
+    from .operators.sampling import mixture_resample_report
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    shares = {"en": 400000, "zh": 150000, "es": 150000, "de": 150000, "fr": 150000}
+    return mixture_resample_report(docs, budget_tokens=10_000, shares_ppm=shares)
+
+
+@register(
+    "pii_redaction_stats",
+    r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+              || CAST(doc_id % 7 AS VARCHAR) || '.org'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                           || '.' || CAST(doc_id % 100 AS VARCHAR)
+                           || '.' || CAST(doc_id % 50 AS VARCHAR)
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' call +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS t
+       FROM p),
+s2 AS (SELECT doc_id, n_email,
+              CAST(len(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                AS n_ipv4,
+              regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                             '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT)
+                AS n_phone,
+              regexp_replace(t, '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       md5(t) AS clean_md5, CAST(len(t) AS BIGINT) AS clean_chars
+FROM s3
+""",
+)
+def q_pii_redaction_stats(spark, sf):
+    """PII scrub over the corpus (emails / IPv4s / phone numbers →
+    typed tokens, applied in that order), oracled down to the
+    redacted-text md5.  The PII itself is synthesized deterministically
+    from doc_id (every doc gets an email footer, every 3rd an IP, every
+    5th a phone) so the counts are provably nonzero and both engines
+    scrub identical bytes.  Map-only: one scan, zero shuffle — the
+    embarrassingly-parallel shape that costs one pass at 10^12 docs."""
+    from .operators.corpus import pii_redact
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"), F.lit("@ex"),
+        (d % 7).cast("string"), F.lit(".org"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (d % 256).cast("string"),
+                F.lit("."), (d % 100).cast("string"),
+                F.lit("."), (d % 50).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = pii_redact(docs.withColumn("text", footer))
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+    )
+
+
+@register(
+    "vocab_oov_stats",
+    """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+v AS (SELECT term FROM (
+        SELECT term, count(*) AS ctf FROM words
+        GROUP BY term ORDER BY ctf DESC, term LIMIT 12)),
+j AS (SELECT w.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words w LEFT JOIN v ON w.term = v.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+FROM j GROUP BY doc_id
+""",
+)
+def q_vocab_oov_stats(spark, sf):
+    """Per-doc OOV rate against the corpus's own top-12 vocabulary —
+    the tokenizer-coverage signal.  Vocab cut is TakeOrderedAndProject
+    (per-partition heaps, no global-sort window), coverage is a
+    broadcast left join on the exploded words; ppm in BIGINT."""
+    from .operators.corpus import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return vocab_coverage(docs, vocab_size=12)
+
+
+@register(
+    "semdedup_verdicts",
+    f"""
+WITH base AS (SELECT vec_id, embedding,
+                     sqrt(list_dot_product(embedding, embedding)) AS nrm
+              FROM embeddings),
+cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < 8),
+scored AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+                  list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
+           FROM base b CROSS JOIN cents c),
+assign AS (SELECT vec_id, embedding, nrm, cell FROM (
+             SELECT vec_id, embedding, nrm, cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rk
+             FROM scored) WHERE rk = 1),
+ord AS (SELECT a.vec_id, a.cell,
+               list_dot_product(a.embedding, c.ce) / (a.nrm * c.cn) AS csim
+        FROM assign a JOIN cents c ON a.cell = c.cell),
+p AS (SELECT y.vec_id AS kb,
+             list_dot_product(ax.embedding, ay.embedding) / (ax.nrm * ay.nrm) AS c
+      FROM ord x JOIN ord y
+        ON x.cell = y.cell
+       AND (x.csim < y.csim OR (x.csim = y.csim AND x.vec_id < y.vec_id))
+      JOIN assign ax ON ax.vec_id = x.vec_id
+      JOIN assign ay ON ay.vec_id = y.vec_id),
+d AS (SELECT DISTINCT kb AS vec_id FROM p WHERE c > 0.4)
+SELECT o.vec_id, o.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM ord o LEFT JOIN d USING (vec_id)
+""",
+)
+def q_semdedup_verdicts(spark, sf):
+    """SemDeDup (Abbas et al. 2023): per-vector keep/drop verdict —
+    within-cluster above-threshold pairs drop the centroid-NEARER
+    member, keeping the outlier.  The paper's sequential scan expressed
+    relationally (order by centroid-cosine, drop the later element of
+    any qualifying pair); oracle replays cell assignment, ordering, and
+    the pair cut bit-exactly (left-fold dots both sides)."""
+    from .operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semdedup(emb, threshold=0.4, n_cells=8)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

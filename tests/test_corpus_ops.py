@@ -225,6 +225,25 @@ def test_span_dedup_ragged_tail_distinct_from_prefix(spark):
     assert got[0]["kept_spans"] == 1 and got[1]["kept_spans"] == 1
 
 
+# ------------------------------------------------------ distinctive terms
+
+
+def test_top_terms_ranks_specific_over_common(spark):
+    from python_fastly_log_query_spark.operators.corpus import top_terms_per_doc
+
+    rows = ["x x x common", "y y common common", "common z"]
+    out = top_terms_per_doc(_docs(spark, rows), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # df: x=1, y=1, z=1, common=3 — the doc-specific term always outranks
+    # the corpus-wide one
+    assert [r["term"] for r in sorted(by_doc[0], key=lambda r: r["rank"])] == ["x", "common"]
+    assert [r["term"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == ["y", "common"]
+    assert [r["term"] for r in sorted(by_doc[2], key=lambda r: r["rank"])] == ["z", "common"]
+    assert all(r["df"] == (3 if r["term"] == "common" else 1) for r in out)
+
+
 # ----------------------------------------------------------- yield funnel
 
 
@@ -305,3 +324,57 @@ def test_incremental_bloom_no_corpus_shuffle(spark):
     plan = _plan(incremental_dedup_bloom(corpus, batch))
     assert "SortMergeJoin" not in plan
     assert plan.count("hashpartitioning(") == plan.count("hashpartitioning(fp")
+
+
+# ---------------------------------------------------------- PII redaction
+
+
+def test_pii_redact_counts_order_and_clean_text(spark):
+    from python_fastly_log_query_spark.operators.corpus import pii_redact
+
+    rows = [
+        "mail a.b@c.org and 10.1.2.3 then +44-123-4567 done",
+        "no pii here at all",
+        "two mails x@y.io z@w.net and 1.2.3.4 5.6.7.8",
+    ]
+    out = {r["doc_id"]: r for r in pii_redact(_docs(spark, rows)).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 1, 1)
+    assert out[0]["clean_text"] == "mail <EMAIL> and <IP> then <PHONE> done"
+    # a clean doc passes through byte-identical with zero counts
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (0, 0, 0)
+    assert out[1]["clean_text"] == rows[1]
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (2, 2)
+    assert out[2]["clean_text"] == "two mails <EMAIL> <EMAIL> and <IP> <IP>"
+
+
+def test_pii_redact_email_before_ip_ordering(spark):
+    from python_fastly_log_query_spark.operators.corpus import pii_redact
+
+    # the numeric-domain mail fails the alpha-TLD email pattern, so the
+    # ipv4 pass (which runs AFTER email) must still see and redact it
+    out = pii_redact(_docs(spark, ["ping u@ex.org at 10.0.0.1"])).collect()[0]
+    assert (out["n_email"], out["n_ipv4"]) == (1, 1)
+    assert out["clean_text"] == "ping <EMAIL> at <IP>"
+
+
+# ------------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_cut_and_ppm(spark):
+    from python_fastly_log_query_spark.operators.corpus import vocab_coverage
+
+    docs = _docs(spark, ["a a a b", "b c"])
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    # vocab = {a(3), b(2)}; c is OOV
+    assert (out[0]["n_tokens"], out[0]["n_oov"], out[0]["oov_ppm"]) == (4, 0, 0)
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_ppm"]) == (2, 1, 500000)
+
+
+def test_vocab_coverage_tie_break_deterministic(spark):
+    from python_fastly_log_query_spark.operators.corpus import vocab_coverage
+
+    # x and y tie at 2 occurrences; vocab_size=2 keeps {x, y}? No —
+    # count desc, term asc: z(3) first, then the x/y tie breaks to x
+    docs = _docs(spark, ["z z z x x y y"])
+    out = vocab_coverage(docs, vocab_size=2).collect()[0]
+    assert out["n_tokens"] == 7 and out["n_oov"] == 2  # both y's are out

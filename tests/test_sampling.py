@@ -55,3 +55,69 @@ def test_capped_per_group_bounds_and_stability(spark):
 def test_capped_group_smaller_than_k_keeps_all(spark):
     docs = _docs(spark, 20)  # 4 docs per group, k=10
     assert capped_per_group(docs, "source", 10).count() == 20
+
+
+def _lang_docs(spark, n):
+    langs = ["en", "en", "en", "zh", "xx"]  # en-heavy + one unplanned lang
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("w1 w2 w3 w4").alias("text"),  # 4 tokens each
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]), (F.col("id") % 5 + 1).cast("int")
+        ).alias("lang"),
+    )
+
+
+def test_mixture_rates_integer_plan(spark):
+    from python_fastly_log_query_spark.operators.sampling import mixture_rates
+
+    docs = _lang_docs(spark, 100)  # en: 60 docs * 4 tok, zh: 20 * 4, xx: 20 * 4
+    rates = {
+        r["lang"]: r
+        for r in mixture_rates(docs, 100, {"en": 500000, "zh": 500000}).collect()
+    }
+    # xx is not in the plan -> no row
+    assert set(rates) == {"en", "zh"}
+    assert rates["en"]["actual_tokens"] == 240 and rates["zh"]["actual_tokens"] == 80
+    # target 50 tokens each: en downsamples (50/240), zh too (50/80)
+    assert rates["en"]["target_tokens"] == 50 and rates["zh"]["target_tokens"] == 50
+    assert rates["en"]["rate_ppm"] == 50 * 1_000_000 // 240
+    assert rates["zh"]["rate_ppm"] == 50 * 1_000_000 // 80
+    # under-target language caps at keep-everything
+    cap = {
+        r["lang"]: r["rate_ppm"]
+        for r in mixture_rates(docs, 10_000, {"en": 500000}).collect()
+    }
+    assert cap["en"] == 1_000_000
+
+
+def test_mixture_resample_deterministic_and_near_target(spark):
+    from python_fastly_log_query_spark.operators.sampling import (
+        mixture_resample_report,
+    )
+
+    docs = _lang_docs(spark, 2000)
+    shares = {"en": 600000, "zh": 400000}
+    a = {
+        r["lang"]: tuple(r)
+        for r in mixture_resample_report(docs, 1000, shares).collect()
+    }
+    b = {
+        r["lang"]: tuple(r)
+        for r in mixture_resample_report(
+            docs.repartition(7), 1000, shares
+        ).collect()
+    }
+    assert a == b  # partitioning-invariant
+    for lang, share in (("en", 600), ("zh", 400)):
+        row = dict(
+            zip(
+                ["lang", "actual_tokens", "target_tokens", "rate_ppm",
+                 "sampled_docs", "sampled_tokens"],
+                a[lang],
+            )
+        )
+        assert row["target_tokens"] == share
+        # hash sampling concentrates near the target (4-token docs,
+        # ~150-250 kept rows: allow generous binomial slack)
+        assert 0.5 * share <= row["sampled_tokens"] <= 1.5 * share

@@ -1,0 +1,49 @@
+"""SemDeDup keep-the-outlier semantics (operators/similarity.py:semdedup):
+the registered query carries a full DuckDB oracle; these pin the paper's
+rule on a hand-built geometry where every verdict is checkable by eye."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from python_fastly_log_query_spark.operators.similarity import semdedup
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+VECS = [
+    [1.0, 0.0, 0.0, 0.0],  # centroid of cell 0 (csim 1.0)
+    [0.0, 1.0, 0.0, 0.0],  # centroid of cell 1 (csim 1.0)
+    [1.0, 0.1, 0.0, 0.0],  # cell 0, csim ~.995, cos(2,3) ~.963
+    [0.9, 0.35, 0.0, 0.0],  # cell 0, LOWEST csim ~.932 -> the kept outlier
+    [0.0, 1.0, 0.5, 0.0],  # cell 1, cos to centroid ~.894 < tau
+]
+
+
+def test_semdedup_keeps_the_centroid_outlier(spark):
+    out = {
+        r["vec_id"]: (r["cell"], r["is_dup"])
+        for r in semdedup(_emb(spark, VECS), threshold=0.9, n_cells=2).collect()
+    }
+    # cell 0 orders (csim asc): vec3 < vec2 < vec0.  cos(3,2) and
+    # cos(3,0) and cos(2,0) all exceed 0.9 -> only the outlier vec3
+    # survives; both centroid-nearer members drop.
+    assert out[3] == (0, 0)
+    assert out[2] == (0, 1)
+    assert out[0] == (0, 1)
+    # cell 1: the 0.894 pair is under threshold -> both kept
+    assert out[1] == (1, 0)
+    assert out[4] == (1, 0)
+
+
+def test_semdedup_partitioning_invariant_and_threshold_monotone(spark):
+    emb = _emb(spark, VECS)
+    a = sorted(tuple(r) for r in semdedup(emb, 0.9, 2).collect())
+    b = sorted(tuple(r) for r in semdedup(emb.repartition(5), 0.9, 2).collect())
+    assert a == b
+    # raising tau can only un-drop: tau above every pairwise cos keeps all
+    none = semdedup(emb, 0.999, 2).filter("is_dup = 1").count()
+    assert none == 0
