@@ -444,6 +444,62 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- linear quality model
+
+
+def hashed_weights(
+    spark, n_buckets: int = 1024, salt: str = "qw"
+) -> DataFrame:
+    """Deterministic stand-in for a trained hashing-trick linear model:
+    one integer weight per hash bucket, derived from the bucket id by a
+    Knuth multiplicative mix (weight ∈ [-500, 500]).  Swap in trained
+    fastText/logistic weights at deploy — everything downstream only
+    sees a ``(bucket, weight)`` dim of ``n_buckets`` rows."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1001 - 500).alias("weight"),
+    )
+
+
+def linear_quality_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    salt: str = "qw",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering, fastText/CCNet shape: score each
+    document with a hashing-trick linear classifier — tokens hash into
+    ``n_buckets`` feature buckets, the model is one broadcast
+    ``(bucket, weight)`` dim, a doc's score is the sum of its tokens'
+    bucket weights, and ``keep = score >= 0``.
+
+    Integer end-to-end (weights are integers, the score is a BIGINT
+    sum), so the verdict is bit-deterministic on any engine — the real
+    fastText float dot differs only in the weight dtype, not the plan.
+
+    Plan: explode tokens → md5 bucket (same 32-bit salted-hash
+    convention as sampling.py) → broadcast-join the model dim → one
+    ``groupBy(doc_id)`` rollup with map-side partials.  The corpus
+    shuffles ONCE (on doc_id); the model never shuffles at any corpus
+    size — this is why the hashing trick, not a vocab join, is the
+    10^12-doc inference shape (a trained vocab table can exceed
+    broadcast range; the hashed dim is fixed at ``n_buckets`` rows).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).withColumn("bucket", _hash_bucket(F.col("term"), salt, n_buckets))
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("weight").cast("long").alias("score"),
+        )
+        .withColumn("keep", (F.col("score") >= 0).cast("int"))
+    )
+
+
 # ----------------------------------------------------------- yield funnel
 
 

@@ -2113,13 +2113,22 @@ def q_streaming_dedup_bounded_state(spark, sf):
     )
     deduped = dedup_within_watermark(stream, "fp", "event_ts", "2 hours")
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    # The stateful operator's partition count is frozen at checkpoint
+    # creation, and EVERY state partition owns a RocksDB instance with
+    # fixed open/commit cost per micro-batch — so it must be sized to
+    # the horizon's fingerprint volume, not the corpus scan parallelism
+    # (8 covers the test scales; a 10^12-doc ingest raises it so
+    # per-partition state stays within a RocksDB instance's sweet spot).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = run_available_now(
             deduped.select("fp"), f"{work}/ckpt", queryName=name, outputMode="append"
         )
         LAST_STREAM_STATE_METRICS["streaming_dedup_bounded_state"] = state_metrics(q)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
@@ -3232,6 +3241,39 @@ def q_semdedup_verdicts(spark, sf):
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return semdedup(emb, threshold=0.4, n_cells=8)
+
+
+@register(
+    "linear_quality_scores",
+    """
+WITH w AS (SELECT CAST(i AS INT) AS bucket,
+                  (i * 2654435761) % 1001 - 500 AS weight
+           FROM range(1024) t(i)),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+tb AS (SELECT doc_id,
+              CAST(CAST('0x' || substr(md5('qw-' || term), 1, 8) AS BIGINT)
+                   % 1024 AS INT) AS bucket
+       FROM toks)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(weight) AS BIGINT) AS score,
+       CAST(CASE WHEN sum(weight) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM tb JOIN w USING (bucket)
+GROUP BY doc_id
+""",
+)
+def q_linear_quality_scores(spark, sf):
+    """Model-based quality filter (fastText/CCNet shape): hashing-trick
+    linear classifier — tokens hash into 1024 feature buckets, the model
+    is a broadcast (bucket, weight) dim, score = sum of bucket weights,
+    keep = score >= 0.  Integer end-to-end so the verdict is
+    bit-deterministic; the model dim never shuffles at any corpus
+    size.  Weights here are a deterministic Knuth-mix stand-in — swap
+    in trained weights at deploy, the plan is unchanged."""
+    from .operators.corpus import hashed_weights, linear_quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return linear_quality_scores(docs, hashed_weights(spark), n_buckets=1024)
 
 
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:

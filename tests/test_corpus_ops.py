@@ -378,3 +378,63 @@ def test_vocab_coverage_tie_break_deterministic(spark):
     docs = _docs(spark, ["z z z x x y y"])
     out = vocab_coverage(docs, vocab_size=2).collect()[0]
     assert out["n_tokens"] == 7 and out["n_oov"] == 2  # both y's are out
+
+
+def test_pii_redact_plan_is_map_only(spark):
+    from python_fastly_log_query_spark.operators.corpus import pii_redact
+
+    plan = _plan(pii_redact(_docs(spark, ["a@b.io x"] * 10)))
+    # one scan, zero shuffles — the whole pass is a single codegen'd
+    # projection chain
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_vocab_coverage_plan_topk_heap_and_broadcast(spark):
+    from python_fastly_log_query_spark.operators.corpus import vocab_coverage
+
+    plan = _plan(vocab_coverage(_docs(spark, ["a b c"] * 10), vocab_size=2))
+    # the vocab cut must be per-partition heaps + driver merge, never a
+    # single-partition global sort window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # coverage side: vocab dim broadcasts onto the exploded words
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_linear_quality_semantics_and_plan(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        linear_quality_scores,
+    )
+
+    docs = _docs(spark, ["good good", "bad", "good bad"])
+    from python_fastly_log_query_spark.operators.sampling import _hash_bucket
+    import pyspark.sql.functions as SF
+
+    # pin weights per TERM bucket: good=+3, bad=-5 (whatever buckets they
+    # hash to under the qw salt)
+    gb, bb = (
+        spark.range(1)
+        .select(
+            _hash_bucket(SF.lit("good"), "qw", 64).alias("g"),
+            _hash_bucket(SF.lit("bad"), "qw", 64).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert gb != bb  # fixture assumption: no hash collision at 64 buckets
+    w = spark.createDataFrame(
+        [(b, 3 if b == gb else (-5 if b == bb else 0)) for b in range(64)],
+        "bucket int, weight long",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in linear_quality_scores(docs, w, n_buckets=64).collect()
+    }
+    assert out[0] == (2, 6, 1)
+    assert out[1] == (1, -5, 0)
+    assert out[2] == (2, -2, 0)
+    plan = _plan(linear_quality_scores(docs, w, n_buckets=64))
+    # model dim broadcasts; the corpus shuffles exactly once (doc_id)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("hashpartitioning(doc_id") == 1
