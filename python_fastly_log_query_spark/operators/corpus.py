@@ -444,6 +444,110 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ winnowing
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, keep the minimum hash per
+    window (ties -> the RIGHTMOST position, the paper's rule), then
+    dedupe selections.  Guarantees every shared substring of length
+    >= ``w + k - 1`` grams contributes at least one matching
+    fingerprint, with density ~2/(w+1) — the robust sampled alternative
+    to keeping all grams.
+
+    Returns distinct ``(doc_id, pos, fp)`` — position and 32-bit gram
+    hash of each selected fingerprint.
+
+    Plan: positional grams (pure Column exprs — ``transform`` over the
+    bound token array, same builder as :func:`doc_ngrams`), 32-bit md5
+    gram hash, ONE window per doc ordered by position with frame
+    ``[0, w-1]`` computing ``min(fp * 2^20 + (2^20-1-pos))`` — the
+    encoded key makes one integer MIN implement (hash asc, pos desc),
+    so the rightmost-tie rule costs nothing extra.  Window partitions
+    are doc-sized (bounded by document length, never corpus-skewed);
+    the final distinct shuffles fingerprint rows only (~2/(w+1) of the
+    grams).  Positions are capped below 2^20 tokens/doc — a guard, not
+    a limit (cap exceeded -> loud error via the modulo-free encoding).
+    """
+    toks = docs.select(id_col, "text", F.split(F.col("text"), " ").alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - k),
+            lambda i: F.array_join(F.slice("_toks", i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    g = toks.select(
+        id_col, F.posexplode(grams).alias("pos", "gram")
+    ).withColumn(
+        "fp", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+    )
+    enc = F.col("fp") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = F.count("*").over(Window.partitionBy(id_col))
+    sel = (
+        g.withColumn("_enc", F.min(enc).over(win))
+        .withColumn("_n", n_grams)
+        # only full windows select (positions 0 .. n-w); short docs (< w
+        # grams) keep their single whole-doc window at pos 0
+        .filter((F.col("pos") <= F.col("_n") - w) | (F.col("pos") == 0))
+        .select(
+            id_col,
+            (F.lit((1 << 20) - 1) - F.col("_enc") % (1 << 20)).alias("pos"),
+            F.expr(f"_enc div {1 << 20}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+# -------------------------------------------------- split-leakage audit
+
+
+def cross_split_contamination(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Train/val/test leakage audit: how many distinct word ``n``-grams
+    are shared across each pair of dataset splits — the check a
+    training pipeline runs AFTER splitting, because a leakage-safe
+    split function (:func:`sampling.split_assign`) still cannot prevent
+    CONTENT overlap between near-duplicate documents that hashed into
+    different splits.
+
+    Returns ``(split_a, split_b, shared_grams)`` per unordered split
+    pair (lexicographic ``split_a < split_b``).
+
+    Plan: distinct per-doc grams (:func:`doc_ngrams`) tagged with the
+    split -> corpus-wide ``(gram, split)`` DISTINCT (one shuffle,
+    map-side partial) -> gram-keyed self-join.  The self-join is
+    BOUNDED BY CONSTRUCTION: after the distinct there are at most 3
+    rows per gram (one per split), so even a boilerplate gram in 10^8
+    documents contributes <= 3 pairs — no skew, no quadratic blowup.
+    """
+    from .sampling import split_assign
+
+    splits = split_assign(docs.select("doc_id")).select("doc_id", "split")
+    gs = (
+        doc_ngrams(docs, n)
+        .join(splits, "doc_id")
+        .select("gram", "split")
+        .distinct()
+    )
+    a = gs.select("gram", F.col("split").alias("split_a"))
+    b = gs.select(F.col("gram").alias("_g"), F.col("split").alias("split_b"))
+    return (
+        a.join(b, (F.col("gram") == F.col("_g")) & (F.col("split_a") < F.col("split_b")))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
 # ---------------------------------------------------- linear quality model
 
 

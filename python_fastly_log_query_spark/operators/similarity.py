@@ -604,9 +604,17 @@ def semdedup(
         F.col("embedding").alias("_ce"),
         F.col("_norm").alias("_cn"),
     )
+    from .dedup import selfjoin_ready
+
     csim = dot(F.col("embedding"), F.col("_ce")) / (F.col("_norm") * F.col("_cn"))
-    ordered = assign.join(F.broadcast(cents), "cell").select(
-        id_col, "cell", csim.alias("_csim")
+    # three consumers (both self-join sides + the final verdict join)
+    # would each recompute the assignment windows — persist the
+    # dimension-per-vector frame once, lifecycle-scoped like the LSH
+    # self-joins (released at the next registry query / bench iteration)
+    ordered = selfjoin_ready(
+        assign.join(F.broadcast(cents), "cell").select(
+            id_col, "cell", csim.alias("_csim")
+        )
     )
     a = ordered.select(
         F.col(id_col).alias("_ka"), F.col("cell"), F.col("_csim").alias("_sa")

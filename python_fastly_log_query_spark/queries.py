@@ -3276,6 +3276,77 @@ def q_linear_quality_scores(spark, sf):
     return linear_quality_scores(docs, hashed_weights(spark), n_buckets=1024)
 
 
+@register(
+    "split_leakage_stats",
+    f"""
+WITH {_NGRAMS5},
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_B.format(salt='split')} < 80 THEN 'train'
+              WHEN {_B.format(salt='split')} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+gs AS (SELECT DISTINCT gram, split FROM g JOIN sp USING (doc_id))
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM gs a JOIN gs b ON a.gram = b.gram AND a.split < b.split
+GROUP BY 1, 2
+""",
+)
+def q_split_leakage_stats(spark, sf):
+    """Train/val/test leakage audit: distinct 5-grams shared across each
+    split pair — content overlap the leakage-safe hash split cannot
+    prevent.  The gram-keyed self-join is bounded at <= 3 rows per gram
+    (one per split) after the distinct, so a boilerplate gram in 10^8
+    docs contributes <= 3 pairs: no skew, no quadratic term."""
+    from .operators.corpus import cross_split_contamination
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return cross_split_contamination(docs, n=5)
+
+
+@register(
+    "winnow_fingerprints",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),
+g AS (SELECT doc_id, (u).pos AS pos, (u).gram AS gram FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(lt) >= 4
+               THEN list_transform(range(1, len(lt) - 2),
+                      i -> struct_pack(pos := i - 1,
+                             gram := lt[i] || ' ' || lt[i+1] || ' '
+                                     || lt[i+2] || ' ' || lt[i+3]))
+               ELSE [struct_pack(pos := 0, gram := array_to_string(lt, ' '))]
+          END) AS u
+        FROM toks)),
+e AS (SELECT doc_id, pos,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * 1048576
+               + (1048575 - pos) AS enc
+      FROM g),
+s AS (SELECT doc_id, pos,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS menc,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM e)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - menc % 1048576 AS BIGINT) AS pos,
+       CAST(menc // 1048576 AS BIGINT) AS fp
+FROM s WHERE pos <= n - 4 OR pos = 0
+""",
+)
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): min
+    32-bit gram hash per sliding window of 4 consecutive word 4-grams,
+    rightmost tie-break via one encoded-integer MIN — guarantees any
+    shared run of >= 7 grams matches on a fingerprint at ~2/(w+1)
+    density.  Doc-sized window partitions; only selected fingerprints
+    (not all grams) reach the distinct shuffle."""
+    from .operators.corpus import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnow_fingerprints(docs, k=4, w=4)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

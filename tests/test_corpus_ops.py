@@ -438,3 +438,103 @@ def test_linear_quality_semantics_and_plan(spark):
     # model dim broadcasts; the corpus shuffles exactly once (doc_id)
     assert "BroadcastHashJoin" in plan
     assert plan.count("hashpartitioning(doc_id") == 1
+
+
+# ---------------------------------------------------- split-leakage audit
+
+
+def test_cross_split_contamination_matches_python_reference(spark):
+    import hashlib
+
+    from python_fastly_log_query_spark.operators.corpus import (
+        cross_split_contamination,
+    )
+
+    def py_split(i):
+        b = int(hashlib.md5(f"split-{i}".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    # docs 0..11 share one 5-gram; the rest are unique 5-token texts
+    rows = ["common gram shared across splits"] * 12 + [
+        f"unique u{i} v{i} w{i} x{i}" for i in range(12, 30)
+    ]
+    docs = _docs(spark, rows)
+    # python reference over the same gram + split definitions
+    gs = set()
+    for i, t in enumerate(rows):
+        toks = t.split(" ")
+        grams = {
+            " ".join(toks[j : j + 5]) for j in range(len(toks) - 4)
+        } or {t}
+        for g in grams:
+            gs.add((g, py_split(i)))
+    expect = {}
+    by_gram = {}
+    for g, s in gs:
+        by_gram.setdefault(g, set()).add(s)
+    for g, splits in by_gram.items():
+        for a in splits:
+            for b in splits:
+                if a < b:
+                    expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {
+        (r["split_a"], r["split_b"]): r["shared_grams"]
+        for r in cross_split_contamination(docs, n=5).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must actually leak (non-vacuous)"
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def _winnow_py(rows, k, w):
+    import hashlib
+
+    out = set()
+    for doc_id, text in enumerate(rows):
+        toks = text.split(" ")
+        grams = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [text]
+        )
+        fps = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        n = len(fps)
+        starts = range(0, n - w + 1) if n >= w else [0]
+        for s in starts:
+            end = min(s + w, n)
+            best = min(range(s, end), key=lambda i: (fps[i], -i))
+            out.add((doc_id, best, fps[best]))
+    return out
+
+
+def test_winnow_matches_python_reference(spark):
+    from python_fastly_log_query_spark.operators.corpus import winnow_fingerprints
+
+    rows = [
+        "a b c d e f g h i j",         # 7 grams, 4 windows
+        "z y x w v u t s",             # 5 grams, 2 windows
+        "dup dup dup dup dup dup",     # identical grams -> rightmost ties
+        "tiny doc",                    # under k tokens -> whole-text gram
+        "a b c d e",                   # 2 grams < w -> clipped window
+    ]
+    expect = _winnow_py(rows, 4, 4)
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(_docs(spark, rows), k=4, w=4).collect()
+    }
+    assert got == expect
+
+
+def test_winnow_guarantee_shared_run_shares_a_fingerprint(spark):
+    from python_fastly_log_query_spark.operators.corpus import winnow_fingerprints
+
+    # both docs contain the same w+k-1 = 7-word run inside different noise
+    shared = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [f"n1 n2 n3 {shared} n4 n5", f"m1 {shared} m2 m3 m4 m5 m6"]
+    out = winnow_fingerprints(_docs(spark, rows), k=4, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "winnowing guarantee violated"

@@ -47,3 +47,25 @@ def test_semdedup_partitioning_invariant_and_threshold_monotone(spark):
     # raising tau can only un-drop: tau above every pairwise cos keeps all
     none = semdedup(emb, 0.999, 2).filter("is_dup = 1").count()
     assert none == 0
+
+
+def test_semdedup_plan_cell_equi_join_and_persisted_ordering(spark):
+    """The within-cell pair join must extract `cell` as an equi key (a
+    BNLJ here would be all-pairs across cells — the scale killer); the
+    only BroadcastNestedLoopJoins allowed are ivf_assign's codebook
+    cross-joins against the n_cells-row dim.  The (id, cell, csim)
+    ordering frame feeds three consumers and must come from the
+    lifecycle persist, not three recomputations."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        semdedup(_emb(spark, VECS), 0.9, 2).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # the pair join is an equi join on cell: a sort/exchange keyed on cell
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "cell" in plan
+    # persisted ordering frame (selfjoin_ready)
+    assert "InMemoryTableScan" in plan
