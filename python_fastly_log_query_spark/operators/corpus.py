@@ -604,6 +604,91 @@ def linear_quality_scores(
     )
 
 
+# ------------------------------------------------- importance weighting
+
+
+def dsir_bucket_weights(
+    source: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Train hashed-n-gram importance weights IN-ENGINE, DSIR shape
+    (Xie et al. 2023, arXiv:2302.03169): per hash bucket, the smoothed
+    frequency ratio of a small TARGET corpus (the distribution you want
+    more of) over the big SOURCE corpus.
+
+    Integer contract: per-corpus bucket rates in ppb (add-1 smoothed),
+    ratio in ppm — ``w_ppm = tp * 10^6 div sp``.  The paper's
+    log-likelihood-ratio weights are the float refinement; the
+    training plan (two bucket aggregates + one tiny dim) is identical,
+    so trained log-weights drop in as a weight-table swap.  BIGINT
+    products bound the per-run token count at ~9*10^9 per corpus —
+    beyond that, train per shard and sum the bucket counts (the
+    aggregate is associative), or widen to DECIMAL(38,0).
+
+    Plan: one scan per corpus -> bucket counts (``n_buckets`` groups,
+    map-side partials — the shuffle moves at most ``n_buckets`` rows
+    per task) -> both joined onto a ``range(n_buckets)`` spine so
+    unseen buckets get the smoothed default.  Output is the
+    ``(bucket, w_ppm)`` broadcast model dim.
+    """
+    spark = source.sparkSession
+
+    def counts(df, name):
+        toks = df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        ).withColumn("bucket", _hash_bucket(F.col("term"), salt, n_buckets))
+        return toks.groupBy("bucket").agg(F.count("*").alias(name))
+
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        spine.join(F.broadcast(counts(target, "tcnt")), "bucket", "left")
+        .join(F.broadcast(counts(source, "scnt")), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("tcnt", F.lit(0)).alias("tcnt"),
+            F.coalesce("scnt", F.lit(0)).alias("scnt"),
+        )
+    )
+    t_tot = target.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("t")).crossJoin(
+        source.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("s"))
+    )
+    return (
+        joined.join(F.broadcast(t_tot))
+        .withColumn("tp", F.expr(f"(tcnt + 1) * 1000000000L div (t + {n_buckets})"))
+        .withColumn("sp", F.expr(f"(scnt + 1) * 1000000000L div (s + {n_buckets})"))
+        .select("bucket", F.expr("tp * 1000000L div sp").alias("w_ppm"))
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the :func:`dsir_bucket_weights` model:
+    ``importance = sum`` of its tokens' bucket ``w_ppm``; the returned
+    ``mean_w_ppm`` (integer div by token count) is the resampling key —
+    target-like docs score ~10^6, off-target docs below.  Same
+    broadcast-model inference plan as :func:`linear_quality_scores`:
+    the corpus shuffles once (doc_id), the model never."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).withColumn("bucket", _hash_bucket(F.col("term"), salt, n_buckets))
+    return (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_ppm").cast("long").alias("importance"),
+        )
+        .withColumn("mean_w_ppm", F.expr("importance div n_tokens"))
+    )
+
+
 # ----------------------------------------------------------- yield funnel
 
 

@@ -3347,6 +3347,53 @@ def q_winnow_fingerprints(spark, sf):
     return winnow_fingerprints(docs, k=4, w=4)
 
 
+_DSIR_B = "CAST(CAST('0x' || substr(md5('dsir-' || term), 1, 8) AS BIGINT) % 1024 AS INT)"
+
+
+@register(
+    "dsir_importance_scores",
+    f"""
+WITH tt AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+            FROM documents WHERE lang = 'en'),
+ss AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS s
+       FROM documents),
+tw AS (SELECT {_DSIR_B} AS bucket, CAST(count(*) AS BIGINT) AS tcnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE lang = 'en') GROUP BY 1),
+sw AS (SELECT {_DSIR_B} AS bucket, CAST(count(*) AS BIGINT) AS scnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents) GROUP BY 1),
+spine AS (SELECT CAST(i AS INT) AS bucket FROM range(1024) r(i)),
+w AS (SELECT bucket,
+             CAST((COALESCE(tcnt, 0) + 1) * 1000000000 // (t + 1024) AS BIGINT) AS tp,
+             CAST((COALESCE(scnt, 0) + 1) * 1000000000 // (s + 1024) AS BIGINT) AS sp
+      FROM spine LEFT JOIN tw USING (bucket) LEFT JOIN sw USING (bucket), tt, ss),
+wm AS (SELECT bucket, CAST(tp * 1000000 // sp AS BIGINT) AS w_ppm FROM w),
+tb AS (SELECT doc_id, {_DSIR_B} AS bucket
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_ppm) AS BIGINT) AS importance,
+       CAST(sum(w_ppm) // count(*) AS BIGINT) AS mean_w_ppm
+FROM tb JOIN wm USING (bucket)
+GROUP BY doc_id
+""",
+)
+def q_dsir_importance_scores(spark, sf):
+    """DSIR-shape importance resampling scores (Xie et al. 2023):
+    hashed-token importance weights TRAINED IN-ENGINE — per-bucket
+    smoothed frequency ratio of the target distribution (here the 'en'
+    slice) over the full corpus, in integer ppm — then every doc scored
+    by its tokens' mean bucket weight.  Two bucket aggregates train the
+    model (shuffles move <= 1024 rows per task); inference is the same
+    broadcast-model plan as linear_quality_scores."""
+    from .operators.corpus import dsir_bucket_weights, dsir_importance
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = dsir_bucket_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_importance(docs, w)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

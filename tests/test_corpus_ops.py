@@ -538,3 +538,31 @@ def test_winnow_guarantee_shared_run_shares_a_fingerprint(spark):
     for r in out:
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[0] & fps[1], "winnowing guarantee violated"
+
+
+# ------------------------------------------------- importance weighting
+
+
+def test_dsir_weights_rank_target_tokens_above_offtarget(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        dsir_bucket_weights,
+        dsir_importance,
+    )
+
+    src = _docs(
+        spark,
+        ["t1 t2 t3 t4"] * 5 + ["o1 o2 o3 o4"] * 5,
+    )
+    target = _docs(spark, ["t1 t2 t3 t4"] * 5)
+    w = dsir_bucket_weights(src, target, n_buckets=256)
+    assert w.count() == 256  # spine covers every bucket
+    out = {
+        r["doc_id"]: r["mean_w_ppm"]
+        for r in dsir_importance(src, w, n_buckets=256).collect()
+    }
+    on = [out[i] for i in range(5)]
+    off = [out[i] for i in range(5, 10)]
+    # target-like docs score ~2e6 (their tokens are 2x denser in target
+    # than source); off-target docs near the smoothing floor
+    assert min(on) > 1_000_000 > max(off)
+    assert all(a == on[0] for a in on) and all(b == off[0] for b in off)
