@@ -1,0 +1,261 @@
+"""Web-page text operators: URL canonicalization, registered-domain
+extraction, and HTML → text extraction.
+
+The crawl-side passes a Common-Crawl-style pipeline runs BEFORE any
+content dedup (SURVEY.md §2 north star: "Common-Crawl-style web pages",
+per-row invariant "byte-identical extracted text per url"; reference
+analog: the per-URL field extraction of
+``/root/reference/src/parse/log_parser.py`` generalized to the page's
+URL/host itself):
+
+- :func:`canonicalize_url` — the crawl-frontier URL equivalence rule
+  (lowercase scheme/host, strip fragment + default port + ``www.``,
+  drop tracking params, sort the rest, trim trailing slash).  Pure
+  Column expressions, map-only: one pass at any corpus size, and the
+  canonical key is what URL-level dedup groups on.
+- :func:`registered_domain` — public-suffix-aware eTLD+1 extraction via
+  a BROADCAST suffix dimension (two broadcast hash joins on the last-1
+  and last-2 host labels, longest suffix wins).  The suffix list is a
+  dimension table, not a compiled expression, so the real ~10k-entry
+  public-suffix list drops in without replanning; the page table is
+  never shuffled.
+- :func:`extract_text` — deterministic HTML → text: drop
+  ``<script>``/``<style>`` blocks, strip tags, decode the five basic
+  entities, collapse whitespace.  Single regexp chain inside
+  whole-stage codegen (no Python), shared Java/RE2 regex dialect so the
+  DuckDB oracle replays the exact transform.
+
+Every regex used here is valid and means the same thing in Java
+(``java.util.regex``) and RE2 (DuckDB): ``(?s)`` dotall, non-greedy
+``.*?``, character classes only — no backrefs, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ URLs
+
+#: query parameters that never distinguish page content (the classic
+#: crawl canonicalization drop-list)
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "ref")
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def _is_tracking(p: Column) -> Column:
+    cond = F.lit(False)
+    for t in TRACKING_PARAMS:
+        if t.endswith("_"):
+            cond = cond | p.startswith(t)
+        else:
+            cond = cond | (F.split(p, "=").getItem(0) == t)
+    return cond
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (see module docstring).
+
+    Idempotent: ``canonicalize_url(canonicalize_url(u)) ==
+    canonicalize_url(u)`` (property-tested).  Everything is a built-in
+    string/array expression — the whole transform stays in one codegen
+    stage, no shuffle, no Python.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    path = F.regexp_extract(url, _URL_RE, 3)
+    query = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?'
+
+    # strip default port, then the bare www. prefix
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.left(hostport, F.length(hostport) - 4),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.left(hostport, F.length(hostport) - 3),
+    ).otherwise(hostport)
+    host = F.regexp_replace(host, r"^www\.", "")
+
+    # trailing-slash-insensitive path; empty path means root
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.left(path, F.length(path) - 1),
+    ).otherwise(path)
+
+    # drop tracking params, sort what remains (binary/ASCII order)
+    parts = F.split(F.regexp_replace(query, r"^\?", ""), "&")
+    kept = F.filter(parts, lambda p: (p != "") & ~_is_tracking(p))
+    canon_q = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&"))
+    ).otherwise(F.lit(""))
+
+    return F.concat(scheme, F.lit("://"), host, path, canon_q)
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB expression mirroring :func:`canonicalize_url` over SQL
+    expression ``expr`` — kept in lockstep with the Column version (the
+    registered queries' oracles are built from this)."""
+    u = expr
+    # DuckDB regexp_extract(s, re, group)
+    scheme = f"lower(regexp_extract({u}, {_dq(_URL_RE)}, 1))"
+    hostport = f"lower(regexp_extract({u}, {_dq(_URL_RE)}, 2))"
+    path0 = f"regexp_extract({u}, {_dq(_URL_RE)}, 3)"
+    query = f"regexp_extract({u}, {_dq(_URL_RE)}, 4)"
+    host = (
+        f"CASE WHEN {scheme} = 'https' AND {hostport} LIKE '%:443' "
+        f"THEN substring({hostport}, 1, length({hostport}) - 4) "
+        f"WHEN {scheme} = 'http' AND {hostport} LIKE '%:80' "
+        f"THEN substring({hostport}, 1, length({hostport}) - 3) "
+        f"ELSE {hostport} END"
+    )
+    host = f"regexp_replace({host}, '^www\\.', '')"
+    path1 = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    path = (
+        f"CASE WHEN {path1} <> '/' AND {path1} LIKE '%/' "
+        f"THEN substring({path1}, 1, length({path1}) - 1) ELSE {path1} END"
+    )
+    track = " OR ".join(
+        f"starts_with(p, '{t}')" if t.endswith("_")
+        else f"string_split(p, '=')[1] = '{t}'"
+        for t in TRACKING_PARAMS
+    )
+    kept = (
+        f"list_filter(string_split(regexp_replace({query}, '^\\?', ''), '&'), "
+        f"p -> p <> '' AND NOT ({track}))"
+    )
+    canon_q = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string(list_sort({kept}), '&') ELSE '' END"
+    )
+    return f"{scheme} || '://' || {host} || {path} || {canon_q}"
+
+
+def _dq(pat: str) -> str:
+    """Pattern as a DuckDB single-quoted string literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+# --------------------------------------------------- registered domains
+
+#: mini public-suffix dimension (drop-in for the full ~10k-entry list);
+#: multi-label entries exercise the longest-suffix-wins path
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "dev", "example",
+    "co.uk", "org.uk", "com.au", "co.jp",
+)
+
+
+def suffix_dim(spark) -> DataFrame:
+    """(suffix, n_labels) dimension — broadcast side of the eTLD+1 join."""
+    rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES]
+    return spark.createDataFrame(rows, "suffix string, n_labels int")
+
+
+def registered_domain(df: DataFrame, host: str, spark=None,
+                      out: str = "registered_domain") -> DataFrame:
+    """Add ``out`` = eTLD+1 of ``df[host]`` (NULL if no known suffix).
+
+    Longest-suffix-wins via two BROADCAST left joins: the last-2-label
+    tail against multi-label suffixes, then the last-1-label tail
+    against single-label suffixes; coalesce prefers the longer match.
+    The fact side is never shuffled — the plan at 10^12 rows is two
+    broadcast hash joins and nothing else.
+    """
+    spark = spark or df.sparkSession
+    dim = suffix_dim(spark)
+    d2 = F.broadcast(
+        dim.filter("n_labels = 2").select(F.col("suffix").alias("_sfx2"))
+    )
+    d1 = F.broadcast(
+        dim.filter("n_labels = 1").select(F.col("suffix").alias("_sfx1"))
+    )
+    labels = F.split(F.col(host), r"\.")
+    n = F.size(labels)
+    last1 = F.element_at(labels, -1)
+    last2 = F.when(n >= 2, F.concat_ws(".", F.element_at(labels, -2), last1))
+    # label immediately left of the matched suffix
+    out_df = (
+        df.withColumn("_l1", last1)
+        .withColumn("_l2", last2)
+        .join(d2, F.col("_l2") == F.col("_sfx2"), "left")
+        .join(d1, F.col("_l1") == F.col("_sfx1"), "left")
+    )
+    reg2 = F.when(
+        (F.col("_sfx2").isNotNull()) & (n >= 3),
+        F.concat_ws(".", F.element_at(labels, -3), F.col("_sfx2")),
+    )
+    reg1 = F.when(
+        (F.col("_sfx1").isNotNull()) & (n >= 2),
+        F.concat_ws(".", F.element_at(labels, -2), F.col("_sfx1")),
+    )
+    return out_df.withColumn(out, F.coalesce(reg2, reg1)).drop(
+        "_l1", "_l2", "_sfx2", "_sfx1"
+    )
+
+
+def suffix_dim_sql() -> str:
+    """DuckDB VALUES dim mirroring :func:`suffix_dim`."""
+    rows = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    )
+    return f"(VALUES {rows}) sfx(suffix, n_labels)"
+
+
+# ------------------------------------------------------------- HTML text
+
+_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+_TAG_RE = r"<[^>]+>"
+_WS_RE = r"\s+"
+
+#: decode order matters: &amp; LAST, so '&amp;lt;' decodes to '&lt;'
+#: (the literal text), not '<'
+_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def escape_html(col: Column) -> Column:
+    """Inverse of the entity-decode step (encode order: & first)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    for ent, ch in _ENTITIES[:-1]:
+        out = F.replace(out, F.lit(ch), F.lit(ent))
+    return out
+
+
+def escape_html_sql(expr: str) -> str:
+    """DuckDB expression mirroring :func:`escape_html`."""
+    s = f"replace({expr}, '&', '&amp;')"
+    for ent, ch in _ENTITIES[:-1]:
+        s = f"replace({s}, {_dq(ch)}, '{ent}')"
+    return s
+
+
+def extract_text(html: Column, binary: bool = True) -> Column:
+    """Visible text of an HTML byte/string column (see module
+    docstring).  One codegen chain: decode → drop script/style → strip
+    tags → decode entities → collapse whitespace → trim."""
+    s = F.decode(html, "UTF-8") if binary else html
+    s = F.regexp_replace(s, _SCRIPT_RE, "")
+    s = F.regexp_replace(s, _STYLE_RE, "")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, _WS_RE, " ")
+    return F.trim(s)
+
+
+def extract_text_sql(expr: str) -> str:
+    """DuckDB expression mirroring :func:`extract_text` on a VARCHAR
+    expression (the oracle builds the page as text, so no decode)."""
+    s = f"regexp_replace({expr}, {_dq(_SCRIPT_RE)}, '', 'g')"
+    s = f"regexp_replace({s}, {_dq(_STYLE_RE)}, '', 'g')"
+    s = f"regexp_replace({s}, {_dq(_TAG_RE)}, ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        s = f"replace({s}, '{ent}', {_dq(ch)})"
+    s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+    return f"trim({s})"

@@ -3394,6 +3394,366 @@ def q_dsir_importance_scores(spark, sf):
     return dsir_importance(docs, w)
 
 
+# ---------------------------------------------------------------- webtext
+# Crawl-side page passes (operators/webtext.py): URL canonicalization +
+# URL-level dedup, public-suffix registered-domain yield, and HTML →
+# text extraction.  Page attributes are synthesized deterministically
+# from doc_id (the established adversarial-input pattern: both engines
+# build identical bytes, so the transforms are what's verified).
+
+_WT_SUFFIXES = ["com", "org", "io", "co.uk", "net", "xyz"]
+
+
+def _wt_suffix_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_WT_SUFFIXES)
+    )
+    return f"CASE {expr} % 6 {whens} END"
+
+
+def _wt_raw_url_sql() -> str:
+    """DuckDB expression set for the synthesized variant URL (CTE body);
+    mirrored column-for-column by the Spark builder in
+    q_url_canonical_dedup."""
+    return f"""
+  SELECT doc_id,
+         (CASE WHEN v % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN v % 3 = 0 THEN upper(h) ELSE h END)
+         || (CASE WHEN v % 7 = 0 THEN ':443' ELSE '' END)
+         || '/p/' || CAST(b AS VARCHAR)
+         || (CASE WHEN v % 2 = 1 THEN '/' ELSE '' END)
+         || '?'
+         || (CASE WHEN v % 2 = 0 THEN 'utm_source=feed&id=' || CAST(b AS VARCHAR)
+                  ELSE 'id=' || CAST(b AS VARCHAR) END)
+         || (CASE WHEN v % 3 = 1 THEN '&gclid=g' || CAST(v AS VARCHAR) ELSE '' END)
+         || (CASE WHEN v % 5 = 2 THEN '&ref=home' ELSE '' END)
+         || (CASE WHEN v % 4 = 2 THEN '#s' || CAST(v AS VARCHAR) ELSE '' END)
+           AS raw_url
+  FROM (SELECT doc_id, doc_id % 100 AS b, doc_id // 100 AS v,
+               (CASE WHEN (doc_id // 100) % 4 = 0 THEN 'www.' ELSE '' END)
+               || 'site' || CAST((doc_id % 100) % 20 AS VARCHAR)
+               || '.' || ({_wt_suffix_case('doc_id % 100')}) AS h
+        FROM documents)
+"""
+
+
+def _wt_raw_url_spark(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    b = d % 100
+    v = F.floor(d / 100).cast("long")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _WT_SUFFIXES]), (b % 6 + 1).cast("int")
+    )
+    h = F.concat(
+        F.when(v % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (b % 20).cast("string"), F.lit("."), sfx,
+    )
+    bs = b.cast("string")
+    vs = v.cast("string")
+    raw = F.concat(
+        F.when(v % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(v % 3 == 0, F.upper(h)).otherwise(h),
+        F.when(v % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), bs,
+        F.when(v % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(v % 2 == 0, F.concat(F.lit("utm_source=feed&id="), bs))
+         .otherwise(F.concat(F.lit("id="), bs)),
+        F.when(v % 3 == 1, F.concat(F.lit("&gclid=g"), vs)).otherwise(F.lit("")),
+        F.when(v % 5 == 2, F.lit("&ref=home")).otherwise(F.lit("")),
+        F.when(v % 4 == 2, F.concat(F.lit("#s"), vs)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", raw.alias("raw_url"))
+
+
+def _wt_url_oracle() -> str:
+    from .operators.webtext import canonicalize_url_sql
+
+    return f"""
+WITH raw AS ({_wt_raw_url_sql()}),
+canon AS (SELECT doc_id, raw_url,
+                 {canonicalize_url_sql('raw_url')} AS canon_url
+          FROM raw)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM canon GROUP BY 1
+"""
+
+
+@register("url_canonical_dedup", _wt_url_oracle())
+def q_url_canonical_dedup(spark, sf):
+    """URL-level dedup via crawl canonicalization
+    (operators/webtext.py:canonicalize_url): scheme/host case, default
+    port, ``www.``, fragments, tracking params, param order, and
+    trailing slashes are all presentation noise — pages differing only
+    in those collapse to one canonical URL, keeper = min doc_id (the
+    first-crawled copy).  Map-only canonicalization + ONE groupBy
+    shuffle on the canonical key; at 10^12 pages this is the cheapest
+    dedup pass there is, which is why real crawls run it before any
+    content hashing.  Variant noise is keyed on doc_id//100, canonical
+    identity on doc_id%100, so every canonical group provably collapses
+    ≥2 presentation forms at sf≥0.01."""
+    from .operators.webtext import canonicalize_url
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    raw = _wt_raw_url_spark(docs)
+    canon = raw.withColumn("canon_url", canonicalize_url(F.col("raw_url")))
+    return canon.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("raw_url").cast("long").alias("n_raw_forms"),
+        F.min("doc_id").cast("long").alias("keeper"),
+    )
+
+
+def _wt_domain_oracle() -> str:
+    from .operators.webtext import suffix_dim_sql
+
+    return f"""
+WITH hosts AS (
+  SELECT doc_id, n_chars,
+         (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+               WHEN 2 THEN 'api.' ELSE '' END)
+         || 'site' || CAST(doc_id % 37 AS VARCHAR)
+         || '.' || ({_wt_suffix_case('doc_id')}) AS host
+  FROM documents),
+lab AS (
+  SELECT doc_id, n_chars, host, string_split(host, '.') AS ls
+  FROM hosts),
+keyed AS (
+  SELECT doc_id, n_chars, host, ls,
+         ls[-1] AS l1,
+         CASE WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1] END AS l2
+  FROM lab),
+j AS (
+  SELECT k.*, s2.suffix AS sfx2, s1.suffix AS sfx1
+  FROM keyed k
+  LEFT JOIN (SELECT suffix FROM {suffix_dim_sql()} WHERE n_labels = 2) s2
+    ON k.l2 = s2.suffix
+  LEFT JOIN (SELECT suffix FROM {suffix_dim_sql()} WHERE n_labels = 1) s1
+    ON k.l1 = s1.suffix),
+reg AS (
+  SELECT doc_id, n_chars,
+         COALESCE(
+           CASE WHEN sfx2 IS NOT NULL AND len(ls) >= 3
+                THEN ls[-3] || '.' || sfx2 END,
+           CASE WHEN sfx1 IS NOT NULL AND len(ls) >= 2
+                THEN ls[-2] || '.' || sfx1 END) AS registered_domain
+  FROM j)
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM reg GROUP BY 1
+"""
+
+
+@register("domain_yield_stats", _wt_domain_oracle())
+def q_domain_yield_stats(spark, sf):
+    """Per-registered-domain corpus yield (operators/webtext.py:
+    registered_domain): eTLD+1 via a BROADCAST public-suffix dimension —
+    two broadcast hash joins on the last-1/last-2 host labels, longest
+    suffix wins, unknown TLDs fall to a NULL bucket — then one rollup
+    shuffle on the domain key.  The per-domain doc/byte yield is what a
+    crawl operator reads to spot spam farms and set per-domain caps;
+    the page table is never shuffled by the suffix resolution, so the
+    plan is identical at 10^12 rows.  ``co.uk`` hosts prove the
+    multi-label path; ``.xyz`` hosts prove the miss path."""
+    from .operators.webtext import registered_domain
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _WT_SUFFIXES]), (d % 6 + 1).cast("int")
+    )
+    host = F.concat(
+        F.when(d % 4 == 0, F.lit("www."))
+        .when(d % 4 == 1, F.lit("cdn."))
+        .when(d % 4 == 2, F.lit("api."))
+        .otherwise(F.lit("")),
+        F.lit("site"), (d % 37).cast("string"), F.lit("."), sfx,
+    )
+    hosts = docs.select("doc_id", "n_chars", host.alias("host"))
+    reg = registered_domain(hosts, "host", spark)
+    return reg.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def _wt_html_oracle() -> str:
+    from .operators.webtext import escape_html_sql, extract_text_sql
+
+    nl = "chr(10)"
+    page = (
+        "'<html>' || " + nl + " || '<head><title>doc ' || CAST(doc_id AS VARCHAR)"
+        " || '</title>' || " + nl + " || "
+        "'<script type=\"text/javascript\">var v = ' || CAST(doc_id AS VARCHAR)"
+        " || ';' || " + nl + " || 'if (v < 2) { alert(\"x&y\"); }</script>' || "
+        + nl + " || '<style>.c { color: red; }</style>' || " + nl
+        + " || '</head>' || " + nl + " || '<body>' || " + nl + " || '<p>' || "
+        + escape_html_sql("t2") + " || '</p>' || " + nl
+        + " || '<em>tail</em>' || " + nl + " || '</body>' || " + nl
+        + " || '</html>'"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' a&b <c> "q" it''s' AS t2
+  FROM documents),
+page AS (SELECT doc_id, t2, {page} AS html FROM t),
+x AS (SELECT doc_id, t2, {extract_text_sql('html')} AS extracted FROM page)
+SELECT doc_id,
+       md5(extracted) AS text_md5,
+       CAST(length(extracted) AS BIGINT) AS n_chars,
+       CAST(extracted = 'doc ' || CAST(doc_id AS VARCHAR) || ' ' || t2 || ' tail'
+            AS BIGINT) AS roundtrip_ok
+FROM x
+"""
+
+
+@register("html_text_extraction", _wt_html_oracle())
+def q_html_text_extraction(spark, sf):
+    """HTML → text extraction over the page's BINARY ``html`` column
+    (operators/webtext.py:extract_text): drop script/style blocks,
+    strip tags, decode entities, collapse whitespace — the north star's
+    per-row invariant ("byte-identical extracted text per url") as a
+    checkable query: ``roundtrip_ok`` proves the extractor recovers the
+    exact source text from a page wrapper containing script/style junk
+    and entity-escaped content, and the md5 oracle pins every byte
+    cross-engine.  One codegen regexp chain, zero shuffle, zero Python
+    — the 10^12-page cost is one scan."""
+    from .operators.webtext import escape_html, extract_text
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    t2 = F.concat(F.col("text"), F.lit(" a&b <c> \"q\" it's"))
+    nl = F.lit("\n")
+    page = F.concat(
+        F.lit("<html>"), nl,
+        F.lit("<head><title>doc "), d, F.lit("</title>"), nl,
+        F.lit('<script type="text/javascript">var v = '), d, F.lit(";"), nl,
+        F.lit('if (v < 2) { alert("x&y"); }</script>'), nl,
+        F.lit("<style>.c { color: red; }</style>"), nl,
+        F.lit("</head>"), nl, F.lit("<body>"), nl,
+        F.lit("<p>"), escape_html(t2), F.lit("</p>"), nl,
+        F.lit("<em>tail</em>"), nl, F.lit("</body>"), nl, F.lit("</html>"),
+    )
+    pages = docs.select(
+        "doc_id", t2.alias("t2"), F.encode(page, "UTF-8").alias("html")
+    )
+    x = pages.withColumn("extracted", extract_text(F.col("html")))
+    return x.select(
+        "doc_id",
+        F.md5(F.encode(F.col("extracted"), "UTF-8")).alias("text_md5"),
+        F.length("extracted").cast("long").alias("n_chars"),
+        (
+            F.col("extracted")
+            == F.concat(F.lit("doc "), d, F.lit(" "), F.col("t2"), F.lit(" tail"))
+        ).cast("long").alias("roundtrip_ok"),
+    )
+
+
+# ------------------------------------------------------------------ BPE
+
+_BPE_K = 10
+
+_BPE_WF = """
+wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1)"""
+
+
+def _bpe_merges_oracle() -> str:
+    from .operators.bpe import bpe_train_sql
+
+    ctes, final = bpe_train_sql(_BPE_K)
+    return f"WITH {_BPE_WF},\n{ctes}\n{final}"
+
+
+@register("bpe_merges", _bpe_merges_oracle())
+def q_bpe_merges(spark, sf):
+    """BPE tokenizer vocabulary TRAINED IN-ENGINE (operators/bpe.py,
+    Sennrich et al. 2016): one corpus scan builds the word-frequency
+    table (state is vocabulary-sized, never corpus-sized), then each of
+    the K merge rounds is a tiny pair-count shuffle over that table, a
+    one-row argmax collect, and a map-only rewrite.  The double-space
+    symbol representation makes a plain left-to-right `replace` perform
+    canonical leftmost non-overlapping BPE merging — identically in
+    Spark and DuckDB — so the oracle (the K-stage unrolled SQL
+    fixpoint) pins every merge, including tie-breaks, bit-exactly;
+    tests/test_bpe.py additionally pins both against a plain-Python
+    canonical reference."""
+    from .operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_train(spark, docs, num_merges=_BPE_K)
+
+
+def _bpe_tokens_oracle() -> str:
+    from .operators.bpe import bpe_train_sql, to_repr_sql
+
+    ctes, _ = bpe_train_sql(_BPE_K)
+    # tokenize every doc with the learned merges: per-word reprs in
+    # original order, the K replaces chained, tokens re-joined
+    stages = []
+    for k in range(1, _BPE_K + 1):
+        prev = f"d{k - 1}"
+        stages.append(
+            f"d{k} AS (SELECT doc_id, i, replace(repr, ' ' || b.l || '  ' || b.r"
+            f" || ' ', ' ' || b.l || b.r || ' ') AS repr FROM {prev}, b{k} b)"
+        )
+    return f"""
+WITH {_BPE_WF},
+{ctes},
+dw AS (
+  SELECT doc_id, i, ws[i] AS word
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+  WHERE ws[i] <> ''),
+d0 AS (SELECT doc_id, i, {to_repr_sql('word')} AS repr FROM dw),
+{",".join(stages)},
+tok AS (
+  SELECT doc_id, i,
+         array_to_string(string_split(trim(repr), '  '), ' ') AS toks,
+         len(string_split(trim(repr), '  ')) AS n
+  FROM d{_BPE_K})
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       md5(string_agg(toks, ' ' ORDER BY i)) AS tokens_md5
+FROM tok GROUP BY doc_id
+"""
+
+
+@register("bpe_token_stats", _bpe_tokens_oracle())
+def q_bpe_token_stats(spark, sf):
+    """The learned BPE vocabulary APPLIED to the corpus
+    (operators/bpe.py:bpe_apply): per-word representation, the K
+    merges as chained `replace`s in rank order, per-doc token count and
+    an md5 over the full token sequence.  Training reads the word
+    table; tokenization is map-only over the corpus — one scan, no
+    shuffle, no Python — which is the entire 10^12-doc cost of rolling
+    out a new tokenizer.  The oracle re-learns the same merges in SQL
+    and re-tokenizes every doc, so the row hash pins the end-to-end
+    train→apply path."""
+    from .operators.bpe import bpe_apply, bpe_train
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(spark, docs, num_merges=_BPE_K).collect()
+    ]
+    toked = bpe_apply(docs, merges)
+    return toked.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.array_join("tokens", " "), "UTF-8")).alias("tokens_md5"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
