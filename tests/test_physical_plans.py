@@ -505,3 +505,60 @@ def test_ann_recall_floors(spark):
     ivfr = recall(lambda e, q, k: ivf_pq_rerank_topk(e, q, k, 200, 8, 4))
     assert sum(ivfr) / len(ivfr) >= 0.7, ivfr   # measured 0.86 mean
     assert min(ivfr) >= 0.5, ivfr               # measured 0.60 min
+
+
+# ---------------------------------------------------------------- webtext/bpe
+
+
+def _nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their '(n) Name' detail header (the tree
+    AND the detail section both mention each node, so plain substring
+    counts double-count)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}\s*$", plan, flags=re.M))
+
+
+def test_url_canonical_dedup_plan_two_exchanges_no_python(spark):
+    """Canonicalization is pure Column exprs: one scan, the canonical-key
+    groupBy's shuffle plus countDistinct's partial-distinct shuffle, and
+    nothing else — zero Python, scan prunes to doc_id only."""
+    from python_fastly_log_query_spark.queries import q_url_canonical_dedup
+
+    plan = _plan(q_url_canonical_dedup(spark, SF_SMALL))
+    assert _nodes(plan, "Exchange") == 2  # agg + distinct-agg pair
+    assert "EvalPython" not in plan  # no Arrow/Batch Python stages
+    read_schema = plan.split("ReadSchema")[1][:120]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_domain_yield_plan_broadcast_only(spark):
+    """eTLD+1 resolution must never shuffle the page table: both suffix
+    joins broadcast, the only row Exchange is the final domain rollup."""
+    from python_fastly_log_query_spark.queries import q_domain_yield_stats
+
+    plan = _plan(q_domain_yield_stats(spark, SF_SMALL))
+    assert _nodes(plan, "BroadcastHashJoin") == 2
+    assert _nodes(plan, "Exchange") == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_html_extraction_plan_map_only(spark):
+    """HTML -> text is one codegen chain: zero Exchange, zero Python."""
+    from python_fastly_log_query_spark.queries import q_html_text_extraction
+
+    plan = _plan(q_html_text_extraction(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_apply_plan_map_only(spark):
+    """Tokenizing with a learned merge list is map-only — the 10^12-doc
+    rollout cost is one scan."""
+    from python_fastly_log_query_spark.operators.bpe import bpe_apply
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(bpe_apply(docs, [("e", "r"), ("e", "</w>")]))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
