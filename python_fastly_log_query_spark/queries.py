@@ -3754,6 +3754,96 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+# ---------------------------------------------------------------- webgraph
+
+_WG_PAGES_SQL = """
+  SELECT doc_id,
+         'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS src_host,
+         '<html><body><a href="https://site'
+         || CAST((7 * doc_id + 1) % 37 AS VARCHAR)
+         || '.com/p/a">l1</a><a href="https://site'
+         || CAST((13 * doc_id + 2) % 37 AS VARCHAR)
+         || '.com/p/b">l2</a>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href="https://site0.com/">hub</a>' ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+"""
+
+_WG_EDGES_SQL = """
+pages AS ({pages}),
+links AS (
+  SELECT src_host AS src,
+         unnest(regexp_extract_all(html, '<a href="https://([^/"]+)/', 1)) AS dst
+  FROM pages),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM links GROUP BY 1, 2)
+""".format(pages=_WG_PAGES_SQL)
+
+
+def _wg_pages_spark(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 37).cast("string"), F.lit(".com"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((7 * d + 1) % 37).cast("string"),
+        F.lit('.com/p/a">l1</a><a href="https://site'),
+        ((13 * d + 2) % 37).cast("string"),
+        F.lit('.com/p/b">l2</a>'),
+        F.when(
+            d % 3 == 0, F.lit('<a href="https://site0.com/">hub</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        "doc_id", host.alias("src_host"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+@register(
+    "host_link_graph",
+    f"WITH {_WG_EDGES_SQL} SELECT src, dst, w FROM edges",
+)
+def q_host_link_graph(spark, sf):
+    """Weighted host→host link graph extracted from page HTML
+    (operators/webgraph.py:extract_outlinks): one regexp_extract_all
+    over the page bytes (map-only, binary column, zero Python), explode,
+    one aggregate on the edge key.  At 10^12 pages the edge list is
+    hosts²-bounded — dimension-like next to the corpus — and is the
+    substrate every link-signal pass (authority, spam-farm degree
+    anomalies) runs on.  Outlinks are synthesized deterministically
+    from doc_id so both engines extract identical bytes."""
+    from .operators.webgraph import extract_outlinks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return extract_outlinks(_wg_pages_spark(docs))
+
+
+def _wg_pagerank_oracle() -> str:
+    from .operators.webgraph import pagerank_sql
+
+    ctes, final = pagerank_sql(5)
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_pagerank", _wg_pagerank_oracle())
+def q_host_pagerank(spark, sf):
+    """Integer-exact PageRank over the extracted host graph
+    (operators/webgraph.py:pagerank, 5 rounds, d=0.85, scores scaled
+    10^12): each round is ONE join of scores onto edge sources and ONE
+    aggregate of incoming shares — the iterative-graph shape that runs
+    at any edge-list size, with all arithmetic in associative integer
+    ops so the result is bit-identical under any partitioning.  The
+    oracle is the 5-stage unrolled SQL fixpoint (same pattern as the
+    BPE trainer), so every score — including floor-division mass loss —
+    is pinned cross-engine."""
+    from .operators.webgraph import extract_outlinks, pagerank
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = extract_outlinks(_wg_pages_spark(docs))
+    return pagerank(edges, iterations=5)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -1,0 +1,74 @@
+"""Web-graph operators (operators/webgraph.py): outlink extraction and
+integer-exact PageRank, pinned against a plain-Python replica."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from python_fastly_log_query_spark.operators.webgraph import (
+    SCALE,
+    extract_outlinks,
+    pagerank,
+)
+
+
+def test_extract_outlinks_counts_anchors(spark):
+    html = (
+        '<html><a href="https://a.com/x">1</a>'
+        '<a href="https://b.com/">2</a>'
+        '<a href="https://a.com/y">3</a>'
+        "<a href='https://nomatch.com/'>single-quoted: skipped</a></html>"
+    )
+    df = spark.createDataFrame([("h.com", html.encode())], "src_host string, html binary")
+    got = {
+        (r.src, r.dst): r.w for r in extract_outlinks(df).collect()
+    }
+    assert got == {("h.com", "a.com"): 2, ("h.com", "b.com"): 1}
+
+
+def _py_pagerank(edges, iterations=5):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = defaultdict(int)
+    for s, _, w in edges:
+        outw[s] += w
+    pr = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        inc = defaultdict(int)
+        for s, d, w in edges:
+            inc[d] += pr[s] * w // outw[s]
+        pr = {
+            v: (15 * SCALE) // (100 * n) + 85 * inc.get(v, 0) // 100
+            for v in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_python_replica(spark):
+    import random
+
+    rng = random.Random(11)
+    hosts = [f"h{i}" for i in range(20)]
+    edges = []
+    for s in hosts:
+        for d in rng.sample(hosts, 3):
+            edges.append((s, d, rng.randint(1, 9)))
+    # duplicate edge keys collapse via max-w (keep the frame unique-keyed)
+    uniq = {}
+    for s, d, w in edges:
+        uniq[(s, d)] = w
+    edges = [(s, d, w) for (s, d), w in uniq.items()]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.host: r.pr for r in pagerank(df, iterations=5).collect()}
+    assert got == _py_pagerank(edges, 5)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1)]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+    df8 = df1.repartition(8)
+    r1 = {r.host: r.pr for r in pagerank(df1, 4).collect()}
+    r8 = {r.host: r.pr for r in pagerank(df8, 4).collect()}
+    assert r1 == r8  # associative integer sums: bit-identical anywhere
