@@ -895,3 +895,75 @@ def incremental_dedup_bloom(
         F.col("bloom_maybe").cast("int").alias("bloom_maybe"),
         F.coalesce(F.col("_dup"), F.lit(0)).alias("is_dup"),
     )
+
+
+# ------------------------------------------------------------- bigram LM
+
+
+def _bigram_buckets(docs: DataFrame, n_buckets: int = 256,
+                    salt: str = "blm") -> DataFrame:
+    """(doc_id, b1, b2) hashed-bucket bigrams of each doc's token
+    stream — one exploded pair per adjacent token position."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    buckets = F.transform(toks, lambda w: _hash_bucket(w, salt, n_buckets))
+    n = F.size(buckets)
+    zipped = F.arrays_zip(
+        F.slice(buckets, 1, n - 1).alias("b1"),
+        F.slice(buckets, 2, n - 1).alias("b2"),
+    )
+    return docs.select("doc_id", F.explode(zipped).alias("p")).select(
+        "doc_id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2")
+    )
+
+
+def bigram_lm_model(target: DataFrame, n_buckets: int = 256,
+                    salt: str = "blm") -> tuple[DataFrame, DataFrame]:
+    """Train a hashed-bucket bigram LM on a target corpus (the CCNet
+    shape: an in-domain LM scores how surprising each document is).
+    Returns the two model dims — pair counts (<= n_buckets^2 rows) and
+    context counts (<= n_buckets rows); both broadcast at scoring time,
+    so the model is a fixed-size dimension at any corpus size.
+
+    Integer contract (same discipline as ``dsir_bucket_weights``):
+    add-1-smoothed conditional probability in ppb,
+    ``p_ppb = (cnt2 + 1) * 10^9 div (cnt1 + n_buckets)``; BIGINT
+    products bound the training corpus at ~9*10^9 tokens per run —
+    beyond that train on a hash-sampled slice or sum per-shard counts
+    (the aggregates are associative)."""
+    pairs = _bigram_buckets(target, n_buckets, salt)
+    cnt2 = pairs.groupBy("b1", "b2").agg(F.count("*").alias("cnt2"))
+    cnt1 = pairs.groupBy("b1").agg(F.count("*").alias("cnt1"))
+    return cnt2, cnt1
+
+
+def bigram_lm_surprise(
+    docs: DataFrame,
+    cnt2: DataFrame,
+    cnt1: DataFrame,
+    n_buckets: int = 256,
+    salt: str = "blm",
+) -> DataFrame:
+    """Score every doc by its total/mean integer "surprise" under the
+    bigram LM: ``surprise = 10^12 div p_ppb`` per bigram (monotone in
+    -log p, transcendental-free so bit-exact cross-engine; unseen pairs
+    fall back to the smoothed floor through the same formula).  Two
+    BROADCAST joins + one doc_id rollup — the corpus is scanned once
+    and never shuffled by the model."""
+    bg = _bigram_buckets(docs, n_buckets, salt)
+    j = (
+        bg.join(F.broadcast(cnt2), ["b1", "b2"], "left")
+        .join(F.broadcast(cnt1), ["b1"], "left")
+        .withColumn(
+            "p_ppb",
+            F.expr(
+                f"(coalesce(cnt2, 0L) + 1) * 1000000000L"
+                f" div (coalesce(cnt1, 0L) + {n_buckets})"
+            ),
+        )
+        .withColumn("surprise", F.expr("1000000000000L div p_ppb"))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("surprise").alias("surprise_sum"),
+        F.expr("sum(surprise) div count(*)").alias("mean_surprise"),
+    )

@@ -3754,6 +3754,59 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+# ------------------------------------------------------------- bigram LM
+
+_BLM_B1 = "CAST(CAST('0x' || substr(md5('blm-' || toks[i]), 1, 8) AS BIGINT) % 256 AS INT)"
+_BLM_B2 = "CAST(CAST('0x' || substr(md5('blm-' || toks[i + 1]), 1, 8) AS BIGINT) % 256 AS INT)"
+
+_BLM_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id, lang, {_BLM_B1} AS b1, {_BLM_B2} AS b2
+  FROM (SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '), w -> w <> '') AS toks
+              FROM documents))),
+c2 AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS cnt2
+       FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS cnt1
+       FROM bg WHERE lang = 'en' GROUP BY 1),
+s AS (
+  SELECT bg.doc_id,
+         1000000000000 // ((COALESCE(c2.cnt2, 0) + 1) * 1000000000
+                           // (COALESCE(c1.cnt1, 0) + 256)) AS surprise
+  FROM bg
+  LEFT JOIN c2 ON c2.b1 = bg.b1 AND c2.b2 = bg.b2
+  LEFT JOIN c1 ON c1.b1 = bg.b1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(surprise) AS BIGINT) AS surprise_sum,
+       CAST(sum(surprise) // count(*) AS BIGINT) AS mean_surprise
+FROM s GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_surprise", _BLM_ORACLE)
+def q_bigram_lm_surprise(spark, sf):
+    """CCNet-shape LM quality filter (Wenzek et al. 2020): a hashed-
+    bucket bigram LM is TRAINED IN-ENGINE on the in-domain slice (the
+    'en' docs) and every document is scored by its integer "surprise"
+    (10^12 div smoothed-conditional-ppb — monotone in -log p, so
+    ranking/filtering behaves like perplexity while staying
+    transcendental-free and bit-exact cross-engine).  The model is two
+    fixed-size dims (<= 256^2 pair counts + 256 context counts),
+    BROADCAST at scoring time: the corpus is scanned once and never
+    shuffled by the model — the same plan at 10^12 docs.  Training
+    aggregates are associative, so the LM can be trained per-shard and
+    summed.  Complements dsir_importance_scores (ratio weights) and
+    linear_quality_scores (supervised) with the LM-based third member
+    of the standard quality-filter family."""
+    from .operators.corpus import bigram_lm_model, bigram_lm_surprise
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cnt2, cnt1 = bigram_lm_model(docs.filter(F.col("lang") == "en"))
+    return bigram_lm_surprise(docs, cnt2, cnt1)
+
+
 # ---------------------------------------------------------------- webgraph
 
 _WG_PAGES_SQL = """

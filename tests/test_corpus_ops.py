@@ -566,3 +566,44 @@ def test_dsir_weights_rank_target_tokens_above_offtarget(spark):
     # than source); off-target docs near the smoothing floor
     assert min(on) > 1_000_000 > max(off)
     assert all(a == on[0] for a in on) and all(b == off[0] for b in off)
+
+
+# ------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_in_domain_docs_score_lower_surprise(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        bigram_lm_model,
+        bigram_lm_surprise,
+    )
+
+    # in-domain docs repeat the same bigrams the target corpus is made of;
+    # out-of-domain docs are all unseen pairs -> smoothing-floor probability
+    target = _docs(spark, ["t1 t2 t3 t4 t1 t2"] * 4)
+    docs = _docs(spark, ["t1 t2 t3 t4"] * 3 + ["z1 z2 z3 z4"] * 3)
+    cnt2, cnt1 = bigram_lm_model(target, n_buckets=64, salt="blmtest")
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_surprise(docs, cnt2, cnt1, n_buckets=64,
+                                    salt="blmtest").collect()
+    }
+    assert all(out[i]["n_bigrams"] == 3 for i in range(6))
+    on = [out[i]["mean_surprise"] for i in range(3)]
+    off = [out[i]["mean_surprise"] for i in range(3, 6)]
+    assert max(on) < min(off), (on, off)
+    # identical docs must score identically (determinism)
+    assert len(set(on)) == 1 and len(set(off)) == 1
+
+
+def test_bigram_lm_model_is_dimension_sized(spark):
+    from python_fastly_log_query_spark.operators.corpus import bigram_lm_model
+
+    target = _docs(spark, ["w%d x%d y%d" % (i, i, i) for i in range(20)])
+    cnt2, cnt1 = bigram_lm_model(target, n_buckets=16, salt="blmdim")
+    # hashed-bucket model is bounded by n_buckets regardless of vocab size
+    assert cnt2.count() <= 16 * 16
+    assert cnt1.count() <= 16
+    # associativity contract: context counts equal summed pair counts
+    tot_pairs = cnt2.agg(F.sum("cnt2")).collect()[0][0]
+    tot_ctx = cnt1.agg(F.sum("cnt1")).collect()[0][0]
+    assert tot_pairs == tot_ctx
