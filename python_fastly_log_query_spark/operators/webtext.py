@@ -259,3 +259,128 @@ def extract_text_sql(expr: str) -> str:
         s = f"replace({s}, '{ent}', {_dq(ch)})"
     s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
     return f"trim({s})"
+
+
+# ------------------------------------------------- host boilerplate lines
+
+
+def host_boilerplate_strip(
+    pages: DataFrame,
+    min_frac_ppm: int = 500_000,
+    min_pages: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host boilerplate line removal (the CCNet / Common Crawl
+    cleaning pass): a line that appears on MORE than ``min_frac_ppm``
+    ppm of a host's pages (host having >= ``min_pages`` pages) is site
+    chrome —
+    nav bars, footers, cookie banners — and is stripped from every page
+    of that host; content lines (present on few pages) survive.  This
+    is host-SCOPED frequency thresholding, distinct from the global
+    keep-first span dedup (`corpus.span_dedup`): boilerplate is removed
+    from its first occurrence too, and a line common on one site but
+    unique on another is only stripped where it is chrome.
+
+    Input: ``(id_col, host, text)`` with ``\\n``-separated lines.
+    Returns ``(doc_id, n_lines, kept_lines, clean_md5)``; ``clean_md5``
+    hashes the surviving lines joined by ``\\n`` in original order
+    (NULL when every line was chrome — the page is dropped).
+
+    Threshold compares in INTEGERS and STRICTLY (``n_docs_line * 10^6 >
+    min_frac_ppm * n_pages``) so the cut is bit-exact cross-engine and
+    a line on exactly the threshold fraction (e.g. 1 of 2 pages at 50%)
+    is content, not chrome — the 2-page host does not degenerate to
+    "every line is boilerplate".
+
+    Plan / 100 TB shape: explode lines (map-only) -> per-(host, line)
+    containment counts via a DISTINCT + groupBy with map-side partials
+    -> host page counts are a hosts-sized dim, BROADCAST onto the line
+    counts -> the boilerplate verdict joins back as a (host, line)
+    LEFT ANTI equi-join (the hot cookie-banner line is exactly the
+    skewed key AQE's skew split handles; a window over host would
+    serialize whole sites) -> doc-sized rebuild groups.  The page
+    table shuffles twice (line key, then doc_id), both with partial
+    aggregation; no corpus-sized broadcast anywhere."""
+    lines = pages.select(
+        id_col,
+        "host",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    contain = lines.select("host", "line", id_col).distinct()
+    line_counts = contain.groupBy("host", "line").agg(
+        F.count("*").alias("n_docs_line")
+    )
+    host_pages = pages.groupBy("host").agg(
+        F.count_distinct(F.col(id_col)).alias("n_pages")
+    )
+    boiler = (
+        line_counts.join(F.broadcast(host_pages), "host")
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (
+                F.col("n_docs_line") * F.lit(1_000_000)
+                > F.lit(min_frac_ppm) * F.col("n_pages")
+            )
+        )
+        .select("host", "line")
+    )
+    kept = lines.join(boiler, ["host", "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_lines"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s.line,
+                    ),
+                    "\n",
+                ),
+                "UTF-8",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count("*").alias("n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("kept_lines"), F.lit(0)).alias("kept_lines"),
+            "clean_md5",
+        )
+    )
+
+
+# ---------------------------------------------------- crawl snapshot delta
+
+
+def snapshot_delta(
+    old: DataFrame, new: DataFrame, key: str = "url", fp_col: str = "fp"
+) -> DataFrame:
+    """URL-keyed diff of two crawl snapshots: FULL OUTER join on the
+    page key, each url classified ``added`` (new only) / ``removed``
+    (old only) / ``changed`` (both, fingerprint differs) / ``unchanged``.
+    The between-snapshots bookkeeping pass a crawler runs before
+    re-fetch scheduling — complements the content-keyed catch-up dedup
+    (`corpus.incremental_dedup_bloom`, which asks "seen this TEXT?")
+    with the url-keyed "what happened to this PAGE?".
+
+    Plan / 100 TB shape: one shuffle of each snapshot on the url key
+    into a SortMergeJoin; with both snapshots written through the
+    bucketed catalog (`plans/bucketing.py`, bucket by url) the
+    Exchanges vanish and the diff is a zero-shuffle merge — the layout
+    a crawl store should use, since every snapshot pair gets diffed.
+    Map-only classification after the join; no driver gather."""
+    o = old.select(F.col(key).alias(key), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key).alias(key), F.col(fp_col).alias("new_fp"))
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, key, "full_outer").select(
+        key, "old_fp", "new_fp", status.alias("status")
+    )

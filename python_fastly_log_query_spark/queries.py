@@ -3897,6 +3897,155 @@ def q_host_pagerank(spark, sf):
     return pagerank(edges, iterations=5)
 
 
+# ------------------------------------------------- host boilerplate lines
+
+_WT_BOILER_ORACLE = """
+WITH pg AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+         concat_ws(chr(10),
+           'nav home about h' || CAST(doc_id % 8 AS VARCHAR),
+           text,
+           CASE WHEN (doc_id // 8) % 4 = 0
+                THEN 'promo banner h' || CAST(doc_id % 8 AS VARCHAR) END,
+           '(c) h' || CAST(doc_id % 8 AS VARCHAR) || ' contact') AS page
+  FROM documents),
+p AS (SELECT doc_id, host, string_split(page, chr(10)) AS ls FROM pg),
+l AS (SELECT doc_id, host,
+             unnest(range(0, len(ls))) AS pos,
+             unnest(ls) AS line
+      FROM p),
+c AS (SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_line
+      FROM l GROUP BY 1, 2),
+hp AS (SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+       FROM pg GROUP BY 1),
+b AS (SELECT host, line FROM c JOIN hp USING (host)
+      WHERE n_pages >= 2 AND n_docs_line * 1000000 > 500000 * n_pages),
+kk AS (SELECT l.doc_id, l.pos, l.line FROM l ANTI JOIN b USING (host, line)),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY 1)
+SELECT n.doc_id, n.n_lines,
+       CAST(coalesce(r.kept_lines, 0) AS BIGINT) AS kept_lines,
+       r.clean_md5
+FROM n LEFT JOIN (
+  SELECT doc_id, count(*) AS kept_lines,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+  FROM kk GROUP BY 1) r USING (doc_id)
+"""
+
+
+@register("host_boilerplate_stats", _WT_BOILER_ORACLE)
+def q_host_boilerplate_stats(spark, sf):
+    """Per-host boilerplate line removal (the CCNet / Common Crawl
+    cleaning pass; operators/webtext.py:host_boilerplate_strip): lines
+    on more than 50% of a host's pages are site chrome and are stripped
+    everywhere on that host.  Pages are synthesized deterministically —
+    every page carries its host's nav + footer (always chrome), a
+    unique content line (never chrome), and every 4th crawl batch a
+    promo line (~25% of the host's pages — provably BELOW threshold,
+    so the cut is exercised from both sides); ``clean_md5`` pins the
+    rebuilt page bytes cross-engine.  Host-SCOPED frequency
+    thresholding, distinct from the global keep-first `span_dedup`.
+    Plan: two corpus shuffles with map-side partials, hosts-dim
+    broadcast, (host, line) LEFT ANTI verdict join (AQE-skew-
+    splittable on hot chrome lines — a per-host window would serialize
+    whole sites), doc-sized rebuild groups."""
+    from .operators.webtext import host_boilerplate_strip
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    k = (F.col("doc_id") % 8).cast("string")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("nav home about h"), k),
+        F.col("text"),
+        F.when(
+            F.expr("(doc_id div 8) % 4 = 0"),
+            F.concat(F.lit("promo banner h"), k),
+        ),
+        F.concat(F.lit("(c) h"), k, F.lit(" contact")),
+    )
+    pages = docs.select(
+        "doc_id", F.concat(F.lit("h"), k).alias("host"), page.alias("text")
+    )
+    return host_boilerplate_strip(pages, min_frac_ppm=500_000, min_pages=2)
+
+
+# ---------------------------------------------------- crawl snapshot delta
+
+_WT_DELTA_ORACLE = """
+WITH u AS (SELECT doc_id,
+                  'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/p/'
+                    || CAST(doc_id AS VARCHAR) AS url,
+                  text
+           FROM documents),
+snap_old AS (SELECT url, md5(text) AS fp FROM u WHERE doc_id % 10 <> 7),
+snap_new AS (SELECT url,
+                    CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                         ELSE md5(text) END AS fp
+             FROM u WHERE doc_id % 10 <> 3),
+d AS (SELECT url,
+             CASE WHEN snap_old.fp IS NULL THEN 'added'
+                  WHEN snap_new.fp IS NULL THEN 'removed'
+                  WHEN snap_old.fp = snap_new.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM snap_old FULL OUTER JOIN snap_new USING (url))
+SELECT status, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CAST('0x' || substr(md5(url), 1, 8) AS BIGINT)) AS BIGINT)
+         AS url_check
+FROM d GROUP BY 1
+"""
+
+
+@register("crawl_delta_stats", _WT_DELTA_ORACLE)
+def q_crawl_delta_stats(spark, sf):
+    """URL-keyed diff of two crawl snapshots
+    (operators/webtext.py:snapshot_delta): FULL OUTER join on url,
+    every page classified added / removed / changed / unchanged — the
+    between-snapshots bookkeeping a crawler runs before re-fetch
+    scheduling.  Snapshots are synthesized so all four statuses occur
+    (old = doc_id%10 != 7, new = doc_id%10 != 3, content bumped when
+    doc_id%5 == 0); ``url_check`` folds each class's url set into an
+    integer checksum both engines derive identically.  Plan: one
+    shuffle per snapshot into a SortMergeJoin; through the bucketed
+    catalog (plans/bucketing.py, bucket by url) the Exchanges vanish —
+    the layout a crawl store wants, since every snapshot pair gets
+    diffed.  Complements the content-keyed `dedup_bloom_incremental`
+    ("seen this TEXT?") with the url-keyed "what happened to this
+    PAGE?"."""
+    from .operators.webtext import snapshot_delta
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % 8).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"), "text")
+    old = u.filter(F.col("doc_id") % 10 != 7).select(
+        "url", F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    )
+    new = u.filter(F.col("doc_id") % 10 != 3).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.encode(F.concat(F.col("text"), F.lit(" v2")), "UTF-8")),
+        )
+        .otherwise(F.md5(F.encode(F.col("text"), "UTF-8")))
+        .alias("fp"),
+    )
+    return (
+        snapshot_delta(old, new, key="url")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(
+                F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("url_check"),
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

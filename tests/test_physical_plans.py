@@ -562,3 +562,30 @@ def test_bpe_apply_plan_map_only(spark):
     plan = _plan(bpe_apply(docs, [("e", "r"), ("e", "</w>")]))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_host_boilerplate_plan_broadcast_dim_no_python(spark):
+    """Boilerplate stripping: the host page-count dim BROADCASTS onto
+    the line counts (never a corpus shuffle for the dim), the chrome
+    verdict is an equi anti-join (no BNLJ), and the whole pass is
+    JVM-side Column exprs — zero Python stages."""
+    from python_fastly_log_query_spark.queries import q_host_boilerplate_stats
+
+    plan = _plan(q_host_boilerplate_stats(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_crawl_delta_plan_single_smj_no_python(spark):
+    """Snapshot diff: ONE SortMergeJoin (full outer on url) over the two
+    snapshot scans — no nested-loop fallback, no Python; with bucketed
+    snapshot tables the Exchanges below it vanish entirely
+    (test_bucketed_join_eliminates_shuffle pins that machinery)."""
+    from python_fastly_log_query_spark.queries import q_crawl_delta_stats
+
+    plan = _plan(q_crawl_delta_stats(spark, SF_SMALL))
+    assert _nodes(plan, "SortMergeJoin") == 1
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -94,3 +94,104 @@ def test_extract_text_double_escaped_stays_literal(spark):
     df = spark.createDataFrame([("<p>&amp;lt;</p>".encode(),)], "html binary")
     got = df.select(extract_text(F.col("html")).alias("t")).collect()[0].t
     assert got == "&lt;"
+
+
+# ------------------------------------------------- host boilerplate lines
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(i, h, t) for i, (h, t) in enumerate(rows)],
+        "doc_id long, host string, text string",
+    )
+
+
+def test_boilerplate_strips_chrome_keeps_content(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        host_boilerplate_strip,
+    )
+
+    rows = [
+        ("a", "nav\ncontent one\nfooter"),
+        ("a", "nav\ncontent two\nfooter"),
+        ("a", "nav\ncontent three\nrare promo\nfooter"),
+        ("a", "nav\ncontent four\nfooter"),
+        # host b: nothing repeats; 1 of 2 pages = exactly 50%, NOT > 50%
+        ("b", "content five\nother"),
+        ("b", "content six"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate_strip(_pages(spark, rows)).collect()
+    }
+    # host a: nav+footer on 4/4 pages -> stripped; content + 1/4 promo kept
+    assert out[0]["n_lines"] == 3 and out[0]["kept_lines"] == 1
+    assert out[2]["n_lines"] == 4 and out[2]["kept_lines"] == 2
+    # host b: no line repeats across pages -> everything kept
+    assert out[4]["kept_lines"] == 2 and out[5]["kept_lines"] == 1
+
+
+def test_boilerplate_all_chrome_page_drops_to_null(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        host_boilerplate_strip,
+    )
+
+    rows = [("a", "nav\nfooter"), ("a", "nav\nfooter"), ("a", "nav\nx\nfooter")]
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate_strip(_pages(spark, rows)).collect()
+    }
+    assert out[0]["kept_lines"] == 0 and out[0]["clean_md5"] is None
+    assert out[2]["kept_lines"] == 1 and out[2]["clean_md5"] is not None
+
+
+def test_boilerplate_is_host_scoped(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        host_boilerplate_strip,
+    )
+
+    # the same line is chrome on host a (2/2 pages) but content on host b
+    rows = [
+        ("a", "shared\nu1"),
+        ("a", "shared\nu2"),
+        ("b", "shared\nu3"),
+        ("b", "u4"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate_strip(_pages(spark, rows)).collect()
+    }
+    assert out[0]["kept_lines"] == 1  # 'shared' stripped on host a (2/2)
+    assert out[2]["kept_lines"] == 2  # kept on host b (1/2 not > 50%)
+
+
+def test_boilerplate_min_pages_guard(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        host_boilerplate_strip,
+    )
+
+    # single-page host: nothing can be chrome regardless of frequency
+    rows = [("solo", "only\nonly\nonly")]
+    out = host_boilerplate_strip(_pages(spark, rows)).collect()[0]
+    assert out["n_lines"] == 3 and out["kept_lines"] == 3
+
+
+# ---------------------------------------------------- crawl snapshot delta
+
+
+def test_snapshot_delta_statuses(spark):
+    from python_fastly_log_query_spark.operators.webtext import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2"), ("u3", "f3")], "url string, fp string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "f1"), ("u2", "f2x"), ("u4", "f4")], "url string, fp string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert out == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }
