@@ -384,3 +384,79 @@ def snapshot_delta(
     return o.join(n, key, "full_outer").select(
         key, "old_fp", "new_fp", status.alias("status")
     )
+
+
+# ------------------------------------------------------- domain scorecard
+
+
+def domain_scorecard(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    spark,
+    dup_ppm_max: int = 500_000,
+    mean_tokens_min: int = 5,
+) -> DataFrame:
+    """Per-registered-domain curation scorecard (the RefinedWeb /
+    FineWeb domain-level pass): roll every page signal up to eTLD+1 and
+    emit one keep/drop verdict per domain — the table a crawl operator
+    reads to cap, down-weight, or drop whole sites, which is where
+    web-corpus cleaning actually starts (domains are ~10^7 next to
+    10^12 pages, so acting per-domain is 10^5x cheaper than per-page).
+
+    Input ``pages``: ``(doc_id, host, text, lang)``;
+    ``blocklist``: ``(registered_domain)`` — a dimension (spam/SEO/ad
+    lists are ~10^5 rows), BROADCAST.
+
+    Signals (ALL integer, ppm granularity, BIGINT ``div`` — bit-exact
+    cross-engine): ``n_pages``; ``dup_ppm`` (fraction of the domain's
+    pages whose exact text occurs >= 2 times CORPUS-WIDE — template/
+    boilerplate sites light up here); ``mean_tokens``; ``en_ppm``
+    (language mix); ``blocklisted``; verdict ``keep`` = not blocklisted
+    AND dup_ppm <= ``dup_ppm_max`` AND mean_tokens >= ``mean_tokens_min``.
+
+    Plan / 100 TB shape: corpus-wide text-fp counts (ONE shuffle on the
+    fp key, map-side partials) equi-joined back (AQE skew split handles
+    the hot template fp); eTLD+1 via the BROADCAST public-suffix dim
+    (registered_domain — the page table never shuffles for it); ONE
+    domain rollup shuffle; blocklist joins BROADCAST onto the
+    domains-sized result.  Two corpus shuffles total, both narrow-keyed;
+    everything JVM-side Column exprs."""
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    d = pages.withColumn("fp", fp)
+    counts = d.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    rd = registered_domain(
+        d.join(counts, "fp"), "host", spark
+    ).select(
+        "registered_domain",
+        "lang",
+        "n_fp",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    g = rd.groupBy("registered_domain").agg(
+        F.count("*").alias("n_pages"),
+        F.expr(
+            "sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("dup_ppm"),
+        F.expr("sum(n_tok) div count(*)").alias("mean_tokens"),
+        F.expr(
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("en_ppm"),
+    )
+    bl = blocklist.select(
+        "registered_domain", F.lit(1).cast("long").alias("blocklisted")
+    )
+    return g.join(F.broadcast(bl), "registered_domain", "left").select(
+        "registered_domain",
+        "n_pages",
+        "dup_ppm",
+        "mean_tokens",
+        "en_ppm",
+        F.coalesce(F.col("blocklisted"), F.lit(0)).alias("blocklisted"),
+        (
+            F.coalesce(F.col("blocklisted"), F.lit(0)).eqNullSafe(0)
+            & (F.col("dup_ppm") <= dup_ppm_max)
+            & (F.col("mean_tokens") >= mean_tokens_min)
+        )
+        .cast("long")
+        .alias("keep"),
+    )

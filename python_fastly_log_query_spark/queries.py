@@ -4046,6 +4046,123 @@ def q_crawl_delta_stats(spark, sf):
     )
 
 
+# ------------------------------------------------------- domain scorecard
+
+_SC_BLOCK_SITES = (0, 13, 26)
+_SC_BLOCK_SUFFIXES = ("com", "org", "io", "co.uk", "net")
+
+
+def _wt_scorecard_oracle() -> str:
+    from .operators.webtext import suffix_dim_sql
+
+    bl_n = ", ".join(f"({n})" for n in _SC_BLOCK_SITES)
+    bl_s = ", ".join(f"('{s}')" for s in _SC_BLOCK_SUFFIXES)
+    return rf"""
+WITH pg AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'sponsored listing page ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text,
+         (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+               WHEN 2 THEN 'api.' ELSE '' END)
+         || 'site' || CAST(doc_id % 37 AS VARCHAR)
+         || '.' || ({_wt_suffix_case('doc_id')}) AS host
+  FROM documents),
+fpc AS (SELECT md5(text) AS fp, count(*) AS n_fp FROM pg GROUP BY 1),
+jj AS (SELECT pg.*, fpc.n_fp,
+              len(string_split_regex(pg.text, '\s+')) AS n_tok
+       FROM pg JOIN fpc ON md5(pg.text) = fpc.fp),
+lab AS (SELECT doc_id, lang, n_fp, n_tok, host,
+               string_split(host, '.') AS ls
+        FROM jj),
+keyed AS (SELECT *, ls[-1] AS l1,
+                 CASE WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1] END AS l2
+          FROM lab),
+sj AS (SELECT k.*, s2.suffix AS sfx2, s1.suffix AS sfx1
+       FROM keyed k
+       LEFT JOIN (SELECT suffix FROM {suffix_dim_sql()} WHERE n_labels = 2) s2
+         ON k.l2 = s2.suffix
+       LEFT JOIN (SELECT suffix FROM {suffix_dim_sql()} WHERE n_labels = 1) s1
+         ON k.l1 = s1.suffix),
+reg AS (SELECT doc_id, lang, n_fp, n_tok,
+               COALESCE(
+                 CASE WHEN sfx2 IS NOT NULL AND len(ls) >= 3
+                      THEN ls[-3] || '.' || sfx2 END,
+                 CASE WHEN sfx1 IS NOT NULL AND len(ls) >= 2
+                      THEN ls[-2] || '.' || sfx1 END) AS registered_domain
+        FROM sj),
+g AS (SELECT registered_domain,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(CASE WHEN n_fp >= 2 THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS dup_ppm,
+             CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                  // count(*) AS BIGINT) AS en_ppm
+      FROM reg GROUP BY 1),
+bl AS (SELECT 'site' || CAST(n AS VARCHAR) || '.' || s AS registered_domain
+       FROM (VALUES {bl_n}) t(n), (VALUES {bl_s}) u(s))
+SELECT g.registered_domain, n_pages, dup_ppm, mean_tokens, en_ppm,
+       CAST(CASE WHEN bl.registered_domain IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS blocklisted,
+       CAST(CASE WHEN bl.registered_domain IS NULL
+                  AND dup_ppm <= 500000 AND mean_tokens >= 5
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM g LEFT JOIN bl ON g.registered_domain = bl.registered_domain
+"""
+
+
+@register("domain_scorecard", _wt_scorecard_oracle())
+def q_domain_scorecard(spark, sf):
+    """Per-registered-domain curation scorecard
+    (operators/webtext.py:domain_scorecard — the RefinedWeb/FineWeb
+    domain-level pass): page signals rolled up to eTLD+1 with one
+    integer keep/drop verdict per domain, the table a crawl operator
+    reads to cap or drop whole sites before any per-page work.  Pages
+    synthesize template-farm behavior deterministically (every 7th page
+    is one of 3 shared "sponsored listing" texts, so corpus-wide exact
+    dup rates light up per-domain and single-page dup domains fail BOTH
+    the dup and the mean-token floor) over the same 37-site x 6-suffix
+    host grid as `domain_yield_stats` (`.xyz` exercising the NULL
+    unknown-TLD bucket); blocklist = 15 known domains, BROADCAST.  Plan:
+    corpus fp counts (one shuffle, AQE-skew-split on the hot template
+    fp), broadcast suffix dim, one domain rollup shuffle, broadcast
+    blocklist — two corpus shuffles total, zero Python."""
+    from .operators.webtext import domain_scorecard
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    text = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("sponsored listing page "), (d % 3).cast("string")),
+    ).otherwise(F.col("text"))
+    prefix = (
+        F.when(d % 4 == 0, F.lit("www."))
+        .when(d % 4 == 1, F.lit("cdn."))
+        .when(d % 4 == 2, F.lit("api."))
+        .otherwise(F.lit(""))
+    )
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _WT_SUFFIXES]), (d % 6 + 1).cast("int")
+    )
+    host = F.concat(
+        prefix, F.lit("site"), (d % 37).cast("string"), F.lit("."), sfx
+    )
+    pages = docs.select(
+        "doc_id", host.alias("host"), text.alias("text"), "lang"
+    )
+    blocklist = spark.createDataFrame(
+        [
+            (f"site{n}.{s}",)
+            for n in _SC_BLOCK_SITES
+            for s in _SC_BLOCK_SUFFIXES
+        ],
+        "registered_domain string",
+    )
+    return domain_scorecard(
+        pages, blocklist, spark, dup_ppm_max=500_000, mean_tokens_min=5
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

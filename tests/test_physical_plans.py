@@ -589,3 +589,15 @@ def test_crawl_delta_plan_single_smj_no_python(spark):
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_domain_scorecard_plan_broadcasts_dims_no_python(spark):
+    """Scorecard: suffix + blocklist dims broadcast (no SMJ for them),
+    the only SortMergeJoin is the corpus-wide fp-count join-back, zero
+    Python stages."""
+    from python_fastly_log_query_spark.queries import q_domain_scorecard
+
+    plan = _plan(q_domain_scorecard(spark, SF_SMALL))
+    assert _nodes(plan, "BroadcastHashJoin") >= 3  # sfx2 + sfx1 + blocklist
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -195,3 +195,57 @@ def test_snapshot_delta_statuses(spark):
         "u3": "removed",
         "u4": "added",
     }
+
+
+# ------------------------------------------------------- domain scorecard
+
+
+def test_domain_scorecard_verdicts(spark):
+    from python_fastly_log_query_spark.operators.webtext import domain_scorecard
+
+    rows = [
+        # good.com: 2 unique, long-enough pages, english
+        (0, "a.good.com", "one two three four five six", "en"),
+        (1, "good.com", "seven eight nine ten eleven twelve", "en"),
+        # spam.com: both pages share text with each other -> dup_ppm 1e6
+        (2, "spam.com", "buy now cheap deals online today", "en"),
+        (3, "www.spam.com", "buy now cheap deals online today", "en"),
+        # thin.org: unique but 2-token pages -> mean_tokens < 5
+        (4, "thin.org", "click here", "de"),
+        # blocked.net: fine content but blocklisted
+        (5, "blocked.net", "perfectly reasonable content right here", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, host string, text string, lang string"
+    )
+    bl = spark.createDataFrame([("blocked.net",)], "registered_domain string")
+    out = {
+        r["registered_domain"]: r
+        for r in domain_scorecard(pages, bl, spark).collect()
+    }
+    assert out["good.com"]["keep"] == 1 and out["good.com"]["dup_ppm"] == 0
+    assert out["good.com"]["n_pages"] == 2 and out["good.com"]["en_ppm"] == 1_000_000
+    assert out["spam.com"]["keep"] == 0 and out["spam.com"]["dup_ppm"] == 1_000_000
+    assert out["thin.org"]["keep"] == 0 and out["thin.org"]["mean_tokens"] == 2
+    assert out["blocked.net"]["keep"] == 0 and out["blocked.net"]["blocklisted"] == 1
+
+
+def test_domain_scorecard_dup_is_corpus_wide(spark):
+    from python_fastly_log_query_spark.operators.webtext import domain_scorecard
+
+    # the same text on two DIFFERENT domains still counts as dup for both
+    rows = [
+        (0, "a.com", "mirrored syndicated article text here", "en"),
+        (1, "b.com", "mirrored syndicated article text here", "en"),
+        (2, "b.com", "an original piece of writing entirely", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "doc_id long, host string, text string, lang string"
+    )
+    bl = spark.createDataFrame([], "registered_domain string")
+    out = {
+        r["registered_domain"]: r
+        for r in domain_scorecard(pages, bl, spark).collect()
+    }
+    assert out["a.com"]["dup_ppm"] == 1_000_000
+    assert out["b.com"]["dup_ppm"] == 500_000
