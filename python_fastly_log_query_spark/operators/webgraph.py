@@ -41,7 +41,7 @@ integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -147,3 +147,76 @@ pr{k} AS (
               + 85 * COALESCE(i.inc, 0) // 100 AS BIGINT) AS pr
   FROM nodes n LEFT JOIN inc{k} i ON i.dst = n.host, nn)""")
     return ",".join(parts), f"SELECT host, pr FROM pr{iterations}"
+
+
+# ------------------------------------------------------------ anchor text
+
+_ANCHOR_RE = r'<a href="https://([^/"]+)/[^"]*">([^<]*)</a>'
+
+
+def anchor_text_topk(
+    pages: DataFrame,
+    top_k: int = 3,
+    html_col: str = "html",
+    src_col: str = "src_host",
+    binary: bool = True,
+) -> DataFrame:
+    """Top-k anchor-text terms per link TARGET host — the classic
+    web-search relevance signal (what the rest of the web calls a page
+    beats what the page calls itself), and for a training pipeline a
+    per-site topicality/spam prior that needs no model.
+
+    Returns ``(dst, term, n, rnk)``: for each target host, the ``top_k``
+    most frequent words across every anchor linking to it, deterministic
+    tie-break ``(count DESC, term ASC)``.
+
+    Plan / 100 TB shape: extraction is MAP-ONLY — one
+    ``regexp_extract_all`` per group over the page bytes, zipped so
+    (href, text) stay aligned, then explode.  Term counting shuffles on
+    ``(dst, term)`` WITH map-side partials — a host with 10^8 inlinks
+    ("the hot hub") is absorbed there: the window that follows ranks
+    the (dst, term) COUNT rows, whose cardinality per dst is its anchor
+    VOCABULARY (bounded), not its in-degree, so the hub never
+    serializes one window partition the way raw-event windows do."""
+    s = F.decode(F.col(html_col), "UTF-8") if binary else F.col(html_col)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(s, F.lit(_ANCHOR_RE), 1).alias("dst"),
+        F.regexp_extract_all(s, F.lit(_ANCHOR_RE), 2).alias("atext"),
+    )
+    links = pages.select(F.explode(pairs).alias("p")).select(
+        F.col("p.dst").alias("dst"), F.col("p.atext").alias("atext")
+    )
+    terms = links.select(
+        "dst", F.explode(F.split(F.col("atext"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("dst", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("dst", "term", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def anchor_text_topk_sql(html_expr: str, from_clause: str,
+                         top_k: int = 3) -> str:
+    """DuckDB CTE mirroring :func:`anchor_text_topk` (pages as VARCHAR);
+    yields a complete SELECT over ``(dst, term, n, rnk)``."""
+    pat = "'" + _ANCHOR_RE.replace("'", "''") + "'"
+    return f"""
+links AS (
+  SELECT unnest(regexp_extract_all({html_expr}, {pat}, 1)) AS dst,
+         unnest(regexp_extract_all({html_expr}, {pat}, 2)) AS atext
+  FROM {from_clause}),
+aterms AS (
+  SELECT dst, unnest(string_split(atext, ' ')) AS term FROM links),
+acounts AS (
+  SELECT dst, term, CAST(count(*) AS BIGINT) AS n
+  FROM aterms WHERE term <> '' GROUP BY 1, 2),
+ranked AS (
+  SELECT dst, term, n,
+         CAST(row_number() OVER (PARTITION BY dst ORDER BY n DESC, term)
+              AS BIGINT) AS rnk
+  FROM acounts)
+SELECT dst, term, n, rnk FROM ranked WHERE rnk <= {top_k}
+"""

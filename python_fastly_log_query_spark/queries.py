@@ -3814,11 +3814,16 @@ _WG_PAGES_SQL = """
          'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS src_host,
          '<html><body><a href="https://site'
          || CAST((7 * doc_id + 1) % 37 AS VARCHAR)
-         || '.com/p/a">l1</a><a href="https://site'
+         || '.com/p/a">review of site'
+         || CAST((7 * doc_id + 1) % 37 AS VARCHAR)
+         || '</a><a href="https://site'
          || CAST((13 * doc_id + 2) % 37 AS VARCHAR)
-         || '.com/p/b">l2</a>'
+         || '.com/p/b">visit site'
+         || CAST((13 * doc_id + 2) % 37 AS VARCHAR)
+         || ' deals</a>'
          || CASE WHEN doc_id % 3 = 0
-                 THEN '<a href="https://site0.com/">hub</a>' ELSE '' END
+                 THEN '<a href="https://site0.com/">best hub ever</a>'
+                 ELSE '' END
          || '</body></html>' AS html
   FROM documents
 """
@@ -3837,14 +3842,21 @@ edges AS (
 def _wg_pages_spark(docs: DataFrame) -> DataFrame:
     d = F.col("doc_id")
     host = F.concat(F.lit("site"), (d % 37).cast("string"), F.lit(".com"))
+    t1 = ((7 * d + 1) % 37).cast("string")
+    t2 = ((13 * d + 2) % 37).cast("string")
     html = F.concat(
         F.lit('<html><body><a href="https://site'),
-        ((7 * d + 1) % 37).cast("string"),
-        F.lit('.com/p/a">l1</a><a href="https://site'),
-        ((13 * d + 2) % 37).cast("string"),
-        F.lit('.com/p/b">l2</a>'),
+        t1,
+        F.lit('.com/p/a">review of site'),
+        t1,
+        F.lit('</a><a href="https://site'),
+        t2,
+        F.lit('.com/p/b">visit site'),
+        t2,
+        F.lit(" deals</a>"),
         F.when(
-            d % 3 == 0, F.lit('<a href="https://site0.com/">hub</a>')
+            d % 3 == 0,
+            F.lit('<a href="https://site0.com/">best hub ever</a>'),
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
@@ -4161,6 +4173,37 @@ def q_domain_scorecard(spark, sf):
     return domain_scorecard(
         pages, blocklist, spark, dup_ppm_max=500_000, mean_tokens_min=5
     )
+
+
+# ------------------------------------------------------------ anchor text
+
+
+def _wg_anchor_oracle() -> str:
+    from .operators.webgraph import anchor_text_topk_sql
+
+    return (
+        f"WITH pages AS ({_WG_PAGES_SQL}),"
+        + anchor_text_topk_sql("html", "pages", top_k=3)
+    )
+
+
+@register("anchor_text_topk", _wg_anchor_oracle())
+def q_anchor_text_topk(spark, sf):
+    """Top-3 anchor-text terms per link TARGET host
+    (operators/webgraph.py:anchor_text_topk): what the rest of the web
+    calls a site — the classic relevance/spam prior that needs no model
+    and that a page cannot write for itself.  (href, text) pairs come
+    from one zipped regexp_extract_all over the page bytes (map-only,
+    zero Python); counting shuffles on (dst, term) with map-side
+    partials, so the hot hub's 10^8 inlinks collapse before the
+    ranking window, which only ever sees each host's anchor VOCABULARY
+    — in-degree skew never serializes a window partition.  Same
+    deterministic page synthesis as `host_link_graph` (hrefs
+    unchanged; anchors carry distinguishable terms)."""
+    from .operators.webgraph import anchor_text_topk
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return anchor_text_topk(_wg_pages_spark(docs), top_k=3)
 
 
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:

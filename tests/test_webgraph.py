@@ -72,3 +72,40 @@ def test_pagerank_partitioning_invariant(spark):
     r1 = {r.host: r.pr for r in pagerank(df1, 4).collect()}
     r8 = {r.host: r.pr for r in pagerank(df8, 4).collect()}
     assert r1 == r8  # associative integer sums: bit-identical anywhere
+
+
+# ------------------------------------------------------------ anchor text
+
+
+def test_anchor_text_topk_ranks_and_tiebreaks(spark):
+    from python_fastly_log_query_spark.operators.webgraph import anchor_text_topk
+
+    pages = spark.createDataFrame(
+        [
+            ("a.com", '<a href="https://t.com/x">great site</a>'
+                      '<a href="https://t.com/y">great deals</a>'),
+            ("b.com", '<a href="https://t.com/z">great stuff</a>'
+                      '<a href="https://u.com/">only link</a>'),
+        ],
+        "src_host string, html string",
+    )
+    out = anchor_text_topk(pages, top_k=2, binary=False).collect()
+    t = {r["term"]: r for r in out if r["dst"] == "t.com"}
+    # 'great' x3 ranks first; tie between 'deals'/'site'/'stuff' (1 each)
+    # breaks alphabetically -> 'deals' takes rank 2, others cut at k=2
+    assert t["great"]["n"] == 3 and t["great"]["rnk"] == 1
+    assert set(t) == {"great", "deals"} and t["deals"]["rnk"] == 2
+    u = [r for r in out if r["dst"] == "u.com"]
+    assert {r["term"] for r in u} == {"link", "only"}
+
+
+def test_anchor_text_topk_self_description_not_used(spark):
+    from python_fastly_log_query_spark.operators.webgraph import anchor_text_topk
+
+    # body text outside anchors never reaches the signal
+    pages = spark.createDataFrame(
+        [("a.com", 'spammy self praise <a href="https://t.com/">neutral</a>')],
+        "src_host string, html string",
+    )
+    out = anchor_text_topk(pages, binary=False).collect()
+    assert [(r["dst"], r["term"]) for r in out] == [("t.com", "neutral")]
