@@ -967,3 +967,117 @@ def bigram_lm_surprise(
         F.sum("surprise").alias("surprise_sum"),
         F.expr("sum(surprise) div count(*)").alias("mean_surprise"),
     )
+
+
+# ------------------------------------------------ byte-balanced sharding
+
+
+def shard_plan(
+    docs: DataFrame,
+    target_bytes: int = 8192,
+    n_ranges: int = 1024,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Byte-balanced output-shard assignment over a deterministic global
+    shuffle — the write-side plan for materializing a corpus as uniform
+    ~``target_bytes`` files (the "every output file is ~512 MB" contract
+    a 100 TB training-data write needs; uneven shards mean straggler
+    readers for every epoch of training that follows).
+
+    Semantics: order all documents by a salted 48-bit md5 key (a global
+    deterministic shuffle — reruns, retries, and cluster-size changes
+    reproduce the identical order, which `rand()`/`repartition` cannot
+    promise), take the running byte total, and assign each doc to the
+    shard its START offset falls in: ``shard = (cum - bytes) div
+    target``.  Whole docs are never split, so shards deviate from
+    ``target_bytes`` by at most one document.
+
+    Scale shape — the naive plan (one global ``ORDER BY`` window) is a
+    single-partition sort of the corpus; this is instead the classic
+    two-phase distributed prefix sum:
+
+    1. docs are range-bucketed by the TOP bits of the shuffle key
+       (``rid = key >> (48 - log2(n_ranges))`` — contiguous in key
+       order by construction, no sampling pass needed);
+    2. a windowed cumsum runs WITHIN each rid (partition size =
+       corpus_bytes / n_ranges — ``n_ranges`` is the knob that keeps
+       the sort in executor memory; at 100 TB set it to
+       ~corpus_bytes / 256 MB);
+    3. per-rid byte totals (one row per rid) are cumsummed on a single
+       tiny partition and broadcast-joined back as range offsets.
+
+    The corpus is shuffled ONCE (the rid exchange; the window sort
+    reuses it) and the only global ordering ever materialized is the
+    ``n_ranges``-row offsets frame.  At deploy scale run the plan over
+    the (id, key, bytes) projection only and join the payload back by
+    id for the write — the text column never rides through the window.
+
+    ``carry`` names passthrough columns kept on the output (used by
+    :func:`shard_plan_stats` for per-shard mix columns).
+
+    Reference analog: the reference's routed writes
+    (/root/reference/scripts/parse_logs.py:311-390) append rows to
+    per-day files with no size control; this is the size-governed
+    equivalent a columnar sink needs.
+    """
+    if n_ranges & (n_ranges - 1) or n_ranges <= 0:
+        raise ValueError(f"n_ranges must be a power of two, got {n_ranges}")
+    shift = 48 - int(math.log2(n_ranges))
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        key.alias("key"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    ).withColumn("rid", F.shiftright(F.col("key"), shift))
+    w_in = (
+        Window.partitionBy("rid")
+        .orderBy("key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offsets: one row per occupied rid; the no-partition window is a
+    # deliberate single tiny partition (<= n_ranges rows, an aggregate
+    # output — never the corpus).
+    w_r = Window.orderBy("rid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        base.groupBy("rid")
+        .agg(F.sum("bytes").alias("_rb"))
+        .select("rid", (F.sum("_rb").over(w_r) - F.col("_rb")).alias("_off"))
+    )
+    return (
+        base.withColumn("_cum_in", F.sum("bytes").over(w_in))
+        .join(F.broadcast(offs), "rid")
+        .select(
+            id_col,
+            *carry,
+            "key",
+            "bytes",
+            F.expr(f"(_cum_in + _off - bytes) DIV {target_bytes}").alias("shard"),
+        )
+    )
+
+
+def shard_plan_stats(planned: DataFrame) -> DataFrame:
+    """Per-shard manifest from :func:`shard_plan` output (carry must
+    include lang/source): ``(shard, n_docs, shard_bytes, n_langs,
+    n_sources)``.  n_langs/n_sources witness that the hash order
+    actually decorrelates the input clustering (a corpus written in
+    crawl order gives one-host shards; a shuffled one mixes)."""
+    return planned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bytes").alias("shard_bytes"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )

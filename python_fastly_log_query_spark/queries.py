@@ -4206,6 +4206,44 @@ def q_anchor_text_topk(spark, sf):
     return anchor_text_topk(_wg_pages_spark(docs), top_k=3)
 
 
+@register(
+    "shard_plan_stats",
+    """
+WITH k AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5('shard-' || doc_id), 1, 12) AS BIGINT) AS key,
+         CAST(octet_length(encode(text)) AS BIGINT) AS b
+  FROM documents),
+c AS (
+  SELECT *, sum(b) OVER (ORDER BY key, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM k)
+SELECT CAST((cum - b) // 8192 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS shard_bytes,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM c GROUP BY shard
+""",
+)
+def q_shard_plan_stats(spark, sf):
+    """Byte-balanced output-shard manifest (operators/corpus.py:
+    shard_plan): every document assigned to a ~8 KiB shard along a
+    deterministic salted-hash global order, via a two-phase distributed
+    prefix sum (windowed cumsum inside 1024 contiguous key ranges +
+    broadcast range offsets) — never a single-partition global sort.
+    The oracle replays the identical order and running total with one
+    global window, so shard ids, per-shard byte totals, and the
+    lang/source mix all hash-match bit-exactly.  n_langs/n_sources per
+    shard witness the shuffle decorrelating the input clustering."""
+    from .operators.corpus import shard_plan, shard_plan_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return shard_plan_stats(
+        shard_plan(docs, target_bytes=8192, carry=("lang", "source"))
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

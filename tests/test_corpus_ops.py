@@ -607,3 +607,85 @@ def test_bigram_lm_model_is_dimension_sized(spark):
     tot_pairs = cnt2.agg(F.sum("cnt2")).collect()[0][0]
     tot_ctx = cnt1.agg(F.sum("cnt1")).collect()[0][0]
     assert tot_pairs == tot_ctx
+
+
+# ------------------------------------------------------------ shard_plan
+
+
+def test_shard_plan_invariants(spark):
+    """Every byte lands in exactly one shard; shard ids are the floor of
+    the doc's global start offset over target; shards deviate from the
+    target by at most one document."""
+    from python_fastly_log_query_spark.operators.corpus import shard_plan
+
+    rows = [f"doc {i} " + "x" * (17 * (i % 13)) for i in range(120)]
+    target = 256
+    planned = shard_plan(
+        _docs(spark, rows), target_bytes=target, n_ranges=16
+    ).collect()
+    assert len(planned) == 120
+    # replay the global order in python
+    ordered = sorted(planned, key=lambda r: (r["key"], r["doc_id"]))
+    cum = 0
+    max_doc = max(r["bytes"] for r in ordered)
+    for r in ordered:
+        assert r["shard"] == cum // target
+        cum += r["bytes"]
+    by_shard = {}
+    for r in ordered:
+        by_shard[r["shard"]] = by_shard.get(r["shard"], 0) + r["bytes"]
+    assert sum(by_shard.values()) == cum
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # contiguous from 0
+    for s in shards[:-1]:
+        assert abs(by_shard[s] - target) < max_doc
+
+
+def test_shard_plan_deterministic_and_range_count_free(spark):
+    """The assignment is a pure function of (corpus, salt): re-running,
+    and changing n_ranges (the PLAN knob), reproduce identical shards."""
+    from python_fastly_log_query_spark.operators.corpus import shard_plan
+
+    rows = [f"payload {i} " + "y" * (i % 29) for i in range(80)]
+    a = {
+        r["doc_id"]: r["shard"]
+        for r in shard_plan(_docs(spark, rows), 128, n_ranges=4).collect()
+    }
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_plan(_docs(spark, rows), 128, n_ranges=64).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        shard_plan(_docs(spark, rows), 128, n_ranges=48)
+
+
+def test_shard_plan_window_is_range_partitioned(spark):
+    """The corpus-sized window cumsum must partition by rid — a global
+    unpartitioned window over the input would serialize the corpus into
+    one task.  The only unpartitioned window allowed is the offsets
+    cumsum over the rid AGGREGATE (<= n_ranges rows), and the offsets
+    join back must broadcast."""
+    import contextlib
+    import io
+
+    from python_fastly_log_query_spark.operators.corpus import shard_plan
+
+    rows = ["z" * (i % 7 + 1) for i in range(40)]
+    df = shard_plan(_docs(spark, rows), 64, n_ranges=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the cumsum over the corpus (ordered by key, doc_id) is partitioned
+    # by rid: its window spec names rid as partition key
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    corpus_specs = [s for s in specs if "key#" in s and "doc_id#" in s]
+    assert corpus_specs, plan
+    for s in corpus_specs:
+        head = s.split("windowspecdefinition(")[1]
+        assert head.split(",")[0].startswith("rid#"), s
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
