@@ -314,29 +314,47 @@ def generate_tpch_like(spark: SparkSession, n_customer: int, n_orders: int,
     return {"customer": cust, "orders": orders, "lineitem": li}
 
 
-def generate_sf_tables(spark: SparkSession, out_dir: str, factor: int = 10) -> None:
+def generate_sf_tables(
+    spark: SparkSession,
+    out_dir: str,
+    factor: int = 10,
+    tables: tuple[str, ...] | None = None,
+) -> None:
     """Write the bench-relevant table set at ``factor`` x the sf0.1 row
     counts (events 100k -> 1M at factor 10, etc.).  User/key cardinalities
     scale WITH the data so per-key load stays constant — the fleet-scale
-    assumption (more traffic means more users, not denser users)."""
+    assumption (more traffic means more users, not denser users).
+
+    ``tables`` limits generation to a subset (``"events"``,
+    ``"documents"``, ``"embeddings"``, ``"tpch"``) — the x100 linearity
+    probe needs only the first three and skipping the 60M-row lineitem
+    saves most of its datagen wall time.  The completion marker records
+    the subset, so widening the subset later regenerates."""
     import os as _os
 
-    marker = _os.path.join(out_dir, f"_GENERATED_x{factor}")
-    if _os.path.exists(marker):
+    wanted = tables or ("events", "documents", "embeddings", "tpch")
+    suffix = "" if tables is None else "_" + "-".join(sorted(wanted))
+    marker = _os.path.join(out_dir, f"_GENERATED_x{factor}{suffix}")
+    full_marker = _os.path.join(out_dir, f"_GENERATED_x{factor}")
+    if _os.path.exists(marker) or _os.path.exists(full_marker):
         return
-    generate_events(spark, 100_000 * factor, 1_500 * factor).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/events.parquet")
-    generate_documents(spark, 5_000 * factor).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    generate_embeddings(spark, 2_000 * factor).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
-    t = generate_tpch_like(
-        spark, 15_000 * factor, 150_000 * factor, 600_000 * factor
-    )
-    for name, df in t.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    if "events" in wanted:
+        generate_events(spark, 100_000 * factor, 1_500 * factor).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/events.parquet")
+    if "documents" in wanted:
+        generate_documents(spark, 5_000 * factor).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+    if "embeddings" in wanted:
+        generate_embeddings(spark, 2_000 * factor).write.mode("overwrite").parquet(
+            f"{out_dir}/embeddings.parquet"
+        )
+    if "tpch" in wanted:
+        t = generate_tpch_like(
+            spark, 15_000 * factor, 150_000 * factor, 600_000 * factor
+        )
+        for name, df in t.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
     with open(marker, "w") as f:
         f.write("ok\n")

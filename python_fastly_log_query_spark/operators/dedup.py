@@ -228,6 +228,108 @@ def minhash_params(
     return best[1], best[2]
 
 
+def minhash_params_scaled(
+    n_docs: int,
+    dup_sim: float = 0.9,
+    target_recall: float = 0.999,
+    bg_jaccard: float = 0.05,
+    spurious_per_doc: float = 0.1,
+    max_r: int = 16,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """Corpus-size-aware ``(num_hashes, bands)``: the missing constraint
+    in :func:`minhash_params` at scale.
+
+    With FIXED (r, b), spurious candidates grow QUADRATICALLY: the exact
+    expectation is ``E[junk] = b * sum over pairs of J^r``, an N^2-count
+    sum dominated by the corpus's LOW-J tail (a random pair sharing one
+    3-gram shingle already has J ~ 0.02).  The x100 decade probe measured
+    it directly: fixed (16, 4) produced 621 pairs at 50k docs ->
+    51,572 at 500k — 83x for 10x data (BENCH/DECADES.md).  Bounding junk
+    at a constant ``spurious_per_doc`` therefore requires r to grow with
+    log N — the same input-driven sizing rule banded_params applies to
+    hyperplane LSH, with the collision model swapped for Jaccard.
+
+    ``bg_jaccard`` is the tail-edge point mass the model charges all N
+    partners with: conservative when the pair-Jaccard density falls
+    toward the edge, which is the measured shape here (4.5M-pair sample
+    of the test corpus at 500k docs: ~9% of pairs at J 0.02-0.05, 3 per
+    million above 0.1, nothing above 0.3 but planted dups).  The 0.05
+    default is calibrated to that corpus; real web text with Heaps-law
+    vocabulary has a far thinner tail and would justify a smaller value
+    (narrower signatures) — it is a parameter, not a constant, for
+    exactly that reason.
+
+    Picks the NARROWEST signature (min r*b) satisfying both
+    - recall: ``1 - (1 - dup_sim^r)^b >= target_recall`` at ``dup_sim``;
+    - junk:   ``(n_docs - 1) * b * bg_jaccard^r <= spurious_per_doc``;
+    falling back to the max-r recall-meeting config if the junk bound is
+    unreachable (then junk is minimized, not met)."""
+    import math
+
+    best = None
+    fallback = None
+    for r in range(2, max_r + 1):
+        pr = dup_sim**r
+        if pr >= 1.0:
+            b = 1
+        else:
+            b = math.ceil(
+                math.log(max(1e-12, 1.0 - target_recall)) / math.log(1.0 - pr)
+            )
+        if b > max_bands:
+            continue
+        junk = (n_docs - 1) * b * bg_jaccard**r
+        if fallback is None or junk < fallback[0]:
+            fallback = (junk, r * b, b)
+        if junk <= spurious_per_doc and (best is None or r * b < best[0]):
+            best = (r * b, b)
+    if best is not None:
+        return best
+    return fallback[1], fallback[2]
+
+
+def minhash_decade_table(
+    dup_sim: float = 0.9,
+    target_recall: float = 0.999,
+    bg_jaccard: float = 0.05,
+    spurious_per_doc: float = 0.1,
+) -> dict[int, tuple[int, int]]:
+    """(num_hashes, bands) per corpus-size DECADE ``d = floor(log10 N)``,
+    sized for the decade's UPPER bound (10^(d+1)) so one config holds for
+    every N inside it.  A decade table (rather than calling
+    minhash_params_scaled on the exact count) makes the choice a pure
+    function of floor(log10(N)) that a SQL oracle replays exactly —
+    both engines pick the same branch from the same precomputed table."""
+    return {
+        d: minhash_params_scaled(
+            10 ** (d + 1), dup_sim, target_recall, bg_jaccard, spurious_per_doc
+        )
+        for d in range(1, 13)
+    }
+
+
+def lsh_candidate_pairs_auto(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs` with (num_hashes, bands) chosen from
+    the corpus size via :func:`minhash_decade_table` — the configuration
+    that keeps candidate volume LINEAR in N (junk pairs bounded per doc)
+    instead of quadratic.  One extra count() job up front; at warehouse
+    scale that is a metadata-only parquet row-count.
+
+    The decade is digit-count based (``len(str(N)) - 1``), not float
+    log10 — bit-exact to replay in SQL (``length(CAST(N AS VARCHAR)) -
+    1``) with no boundary risk at exact powers of ten."""
+    n = docs.count()
+    table = minhash_decade_table()
+    d = min(max(len(str(max(n, 10))) - 1, 1), 12)
+    nh, nb = table[d]
+    return lsh_candidate_pairs(docs, nh, nb, id_col, text_col)
+
+
 def banded_signature_keys(
     docs: DataFrame,
     num_hashes: int = 16,

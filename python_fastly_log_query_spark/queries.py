@@ -1054,6 +1054,69 @@ _LSH_BODY = (
 
 _LSH_CTE = "WITH " + _SHINGLES_CTE + _LSH_BODY
 
+
+def _sig_sql_n(nh: int) -> str:
+    """The _SIG_SQL minhash-array expression at an arbitrary width."""
+    return "[" + ", ".join(
+        f"list_min(list_transform(shingles, s -> ({_A_SQL} + {k} * ({_B_SQL})) % {_MP}))"
+        for k in range(nh)
+    ) + "]"
+
+
+def _bands_sql_n(nh: int, nb: int, sig: str) -> str:
+    """The _BANDS_SQL union at arbitrary (nh, nb) over CTE ``sig``."""
+    rows = nh // nb
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(sg[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        + f") AS key FROM {sig}"
+        for b in range(nb)
+    )
+
+
+def _lsh_auto_sql() -> str:
+    """Oracle for dedup_minhash_lsh_auto: replays the corpus-size-decade
+    (num_hashes, bands) choice from dedup.minhash_decade_table as one
+    branch per DISTINCT config, each branch gated by
+    ``(SELECT d FROM dec) IN (<its decades>)`` pushed below the minhash
+    transforms — non-matching branches filter every row before any
+    hashing, so the union costs one scan per branch plus ONE live
+    pipeline.  The decade is digit-count based on both engines
+    (length(CAST(N AS VARCHAR)) - 1), no float log10 boundary risk."""
+    from .operators.dedup import minhash_decade_table
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for d, cfg in minhash_decade_table().items():
+        groups.setdefault(cfg, []).append(d)
+    ctes = [
+        "dec AS (SELECT least(12, greatest(1, "
+        "length(CAST(greatest(count(*), 10) AS VARCHAR)) - 1)) AS d "
+        "FROM documents)"
+    ]
+    selects = []
+    for (nh, nb), decs in sorted(groups.items()):
+        sfx = f"{nh}_{nb}"
+        in_list = ", ".join(str(d) for d in sorted(decs))
+        ctes.append(
+            f"sh_{sfx} AS (SELECT doc_id, shingles FROM sh "
+            f"WHERE (SELECT d FROM dec) IN ({in_list}))"
+        )
+        ctes.append(f"sig_{sfx} AS (SELECT doc_id, {_sig_sql_n(nh)} AS sg FROM sh_{sfx})")
+        ctes.append(f"bands_{sfx} AS ({_bands_sql_n(nh, nb, 'sig_' + sfx)})")
+        selects.append(
+            f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+            f"FROM bands_{sfx} a JOIN bands_{sfx} b "
+            f"ON a.band = b.band AND a.key = b.key\n"
+            f"WHERE a.doc_id < b.doc_id"
+        )
+    return (
+        "WITH " + _SHINGLES_CTE + ",\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 _VERIFIED_SELECT = """
 SELECT p.doc_a, p.doc_b,
        round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
@@ -4242,6 +4305,25 @@ def q_shard_plan_stats(spark, sf):
     return shard_plan_stats(
         shard_plan(docs, target_bytes=8192, carry=("lang", "source"))
     )
+
+
+@register("dedup_minhash_lsh_auto", _lsh_auto_sql())
+def q_dedup_minhash_lsh_auto(spark, sf):
+    """Corpus-size-aware MinHash-LSH candidate pairs
+    (dedup.lsh_candidate_pairs_auto): (num_hashes, bands) picked from the
+    corpus-size decade via dedup.minhash_decade_table, so r grows with
+    log N and spurious band collisions stay BOUNDED PER DOC instead of
+    growing as N^2 * bg_jaccard^r — the failure the x100 linearity probe
+    measured on the fixed-(16,4) twin (621 -> 51,572 pairs for 10x docs;
+    BENCH/DECADES.md).  The fixed twin dedup_minhash_lsh stays registered
+    as the small-scale oracle shape; this is the configuration you would
+    actually run at 10^12 docs.  The oracle replays the decade choice
+    (digit-count of N) and the full minhash pipeline per distinct config
+    branch, so pairs hash-match bit-exactly at every test scale."""
+    from .operators.dedup import lsh_candidate_pairs_auto
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return lsh_candidate_pairs_auto(docs)
 
 
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:

@@ -388,6 +388,67 @@ def test_minhash_params_scurve_contract():
     assert tight >= loose
 
 
+def test_minhash_params_scaled_contract():
+    """Corpus-size-aware sizing: for every decade config, the recall
+    constraint holds at dup_sim AND the per-doc junk bound holds at the
+    decade's UPPER edge; r is non-decreasing in N (the log N growth that
+    keeps candidate volume linear — fixed (r, b) measured 83x pair growth
+    for 10x docs at the x100 probe, BENCH/DECADES.md)."""
+    from python_fastly_log_query_spark.operators.dedup import (
+        minhash_decade_table,
+        minhash_params_scaled,
+    )
+
+    dup_sim, recall_target, bg, budget = 0.9, 0.999, 0.05, 0.1
+    table = minhash_decade_table(dup_sim, recall_target, bg, budget)
+    assert sorted(table) == list(range(1, 13))
+    prev_r = 0
+    for d, (nh, b) in sorted(table.items()):
+        r = nh // b
+        assert nh == r * b, (d, nh, b)
+        assert 1 - (1 - dup_sim**r) ** b >= recall_target, (d, nh, b)
+        n_edge = 10 ** (d + 1)
+        assert (n_edge - 1) * b * bg**r <= budget, (d, nh, b)
+        assert r >= prev_r, "r must grow (weakly) with the decade"
+        prev_r = r
+    # direct-N form agrees with its decade entry at the decade edge
+    assert minhash_params_scaled(10**6, dup_sim, recall_target, bg, budget) == table[5]
+    # junk-infeasible corner falls back to max-r recall config, not a crash
+    nh, b = minhash_params_scaled(
+        10**12, dup_sim, recall_target, bg_jaccard=0.5, max_r=4
+    )
+    assert 1 - (1 - dup_sim ** (nh // b)) ** b >= recall_target
+
+
+def test_lsh_auto_decade_dispatch(spark):
+    """lsh_candidate_pairs_auto must pick the digit-count decade's config
+    and reproduce lsh_candidate_pairs at that (nh, nb) exactly; planted
+    exact duplicates (J = 1) are recalled at any width."""
+    from python_fastly_log_query_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_auto,
+        minhash_decade_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n = docs.count()
+    d = min(max(len(str(max(n, 10))) - 1, 1), 12)
+    nh, nb = minhash_decade_table()[d]
+    auto = {tuple(r) for r in lsh_candidate_pairs_auto(docs).collect()}
+    fixed = {tuple(r) for r in lsh_candidate_pairs(docs, nh, nb).collect()}
+    assert auto == fixed and len(auto) > 0
+    # exact-dup pairs from the generator contract (text copied verbatim)
+    from pyspark.sql import functions as F
+
+    dup = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.expr("a.text = b.text AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    )
+    planted = {(r.x, r.y) for r in dup.collect()}
+    assert planted <= auto, "an exact duplicate escaped the auto banding"
+
+
 def test_pq_codes_invariants(spark):
     """PQ contract: every vector yields one code per subspace in
     [0, n_cents); each CODEBOOK vector's subvectors are distance-0 to
