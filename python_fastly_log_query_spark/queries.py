@@ -4326,6 +4326,29 @@ def q_dedup_minhash_lsh_auto(spark, sf):
     return lsh_candidate_pairs_auto(docs)
 
 
+@register(
+    "dedup_simhash_ngram",
+    "WITH " + _SHINGLES_CTE
+    + f"SELECT doc_id, {_simhash_sql('shingles')} AS simhash FROM sh",
+)
+def q_dedup_simhash_ngram(spark, sf):
+    """SimHash fingerprints over word 3-GRAM features
+    (dedup.simhash_docs(ngram=3)) — the anti-saturation twin of
+    dedup_simhash (unigram features).  On a bounded-vocabulary corpus,
+    unigram token multisets converge as the corpus grows, so hamming<=2
+    pair volume turns quadratic even though every pair is a true match
+    under the unigram definition (x100 probe: 11,394 pairs at 50k docs
+    -> 1,102,135 at 500k).  Shingle features keep SimHash similarity
+    aligned with 3-gram Jaccard and pair volume linear (86 -> 792, the
+    planted duplicates; BENCH/DECADES.md).  Same md5-digit vote
+    pipeline, replayed bit-exactly by the oracle over the shingles
+    list."""
+    from .operators.dedup import simhash_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_docs(docs, bits=16, ngram=3)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -437,16 +437,60 @@ def test_lsh_auto_decade_dispatch(spark):
     auto = {tuple(r) for r in lsh_candidate_pairs_auto(docs).collect()}
     fixed = {tuple(r) for r in lsh_candidate_pairs(docs, nh, nb).collect()}
     assert auto == fixed and len(auto) > 0
-    # exact-dup pairs from the generator contract (text copied verbatim)
+    # recall witness: plant exact duplicates explicitly (the generator's
+    # 0.16% dup rate can round to zero at this scale) — J = 1 pairs must
+    # collide in every band at any signature width
     from pyspark.sql import functions as F
 
-    dup = (
-        docs.alias("a")
-        .join(docs.alias("b"), F.expr("a.text = b.text AND a.doc_id < b.doc_id"))
-        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    copies = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    planted = {(r.x, r.y) for r in dup.collect()}
-    assert planted <= auto, "an exact duplicate escaped the auto banding"
+    with_dups = docs.select("doc_id", "text").unionByName(copies)
+    auto_dup = {tuple(r) for r in lsh_candidate_pairs_auto(with_dups).collect()}
+    planted = {
+        (r.doc_id - 100000, r.doc_id) for r in copies.select("doc_id").collect()
+    }
+    assert len(planted) == 5 and planted <= auto_dup, (
+        "an exact duplicate escaped the auto banding"
+    )
+
+
+def test_simhash_ngram_features(spark):
+    """ngram=1 must reproduce the original unigram fingerprints exactly
+    (the oracle twin is untouched); the 3-gram feature variant — the
+    anti-saturation knob for bounded-vocabulary corpora, see
+    BENCH/DECADES.md — still recalls every planted exact duplicate
+    (identical text -> identical shingles -> hamming 0)."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.dedup import (
+        simhash_docs,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    uni = {(r.doc_id, r.simhash) for r in simhash_docs(docs, 16).collect()}
+    uni1 = {(r.doc_id, r.simhash) for r in simhash_docs(docs, 16, ngram=1).collect()}
+    assert uni == uni1
+    tri = {(r.doc_id, r.simhash) for r in simhash_docs(docs, 16, ngram=3).collect()}
+    assert dict(tri) != dict(uni), "3-gram features must change fingerprints"
+    # plant exact duplicates explicitly (sf0.001's 0.16% dup rate can
+    # round to zero): copy 5 texts under doc_id + 100000
+    copies = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    with_dups = docs.select("doc_id", "text").unionByName(copies)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(with_dups, 64, 2, ngram=3).collect()
+    }
+    planted = {(r.doc_id, r.doc_id + 100000) for r in copies.select(
+        (F.col("doc_id") - 100000).alias("doc_id")).collect()}
+    assert len(planted) == 5 and planted <= pairs
 
 
 def test_pq_codes_invariants(spark):
