@@ -322,6 +322,253 @@ def span_dedup(
     )
 
 
+# ------------------------------------------- exact duplicated substrings
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_words: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated substrings — the ExactSubstr semantics of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every maximal word run whose every ``min_words``-word
+    window occurs >= ``min_count`` times anywhere in the corpus (across
+    documents or repeated inside one).  Any duplicated substring of
+    >= ``min_words`` words contains a duplicated ``min_words``-gram, so
+    maximal runs of duplicated STRIDE-1 windows recover exactly the
+    duplicated substrings of that length — the guarantee the paper gets
+    from suffix arrays, expressed relationally.
+
+    Returns ``(doc_id, span_start, span_end, span_words)`` — inclusive
+    word offsets of each maximal duplicated span.  Detection only: ALL
+    occurrences are reported (keeper policy is a separate pass — see
+    :func:`span_dedup`'s keep-first and dedup_clusters' canonical
+    keeper).
+
+    Plan: stride-1 windows (map-only; one md5 per window, words joined
+    by ' ' exactly as dedup.word_shingles) -> corpus-wide window counts
+    (map-side partials, one row per key on the build side) -> equi-join
+    back (hot boilerplate keys hit AQE's skew-join split) -> gaps-and-
+    islands per doc (row_number window PARTITIONed by doc_id — bounded
+    by doc length, never corpus-skewed).
+
+    The relational price of EXACTNESS is the window frame: ~one row per
+    corpus token (Lee et al. pay the same token count in suffix-array
+    bytes).  The sampled alternative at ~2/(w+1) density is
+    :func:`winnow_fingerprints`; the non-overlapping chunk variant is
+    :func:`span_dedup`.
+    """
+    from .dedup import selfjoin_ready
+
+    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("_toks"))
+    win_keys = F.when(
+        F.size("_toks") >= min_words,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - min_words),
+            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, min_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = selfjoin_ready(
+        toks.select(id_col, F.posexplode(win_keys).alias("pos", "key"))
+    )
+    dup_keys = (
+        wins.groupBy("key")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("key")
+    )
+    dup_pos = wins.join(dup_keys, "key").select(id_col, "pos")
+    rn = F.row_number().over(Window.partitionBy(id_col).orderBy("pos"))
+    islands = dup_pos.withColumn("_isl", F.col("pos") - rn)
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            id_col,
+            F.col("_s").cast("long").alias("span_start"),
+            (F.col("_e") + min_words - 1).cast("long").alias("span_end"),
+            (F.col("_e") - F.col("_s") + min_words).cast("long").alias("span_words"),
+        )
+    )
+
+
+def duplicated_token_stats(
+    docs: DataFrame,
+    min_words: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-token fraction from
+    :func:`duplicated_spans` — the headline removal metric of Lee et
+    al. 2022 (fraction of corpus tokens inside a duplicated substring).
+
+    Maximal spans come from DISTINCT position islands, but their word
+    coverage can still overlap (two islands whose position gap is
+    < ``min_words`` words): dup_tokens is therefore the size of the
+    INTERVAL UNION of the spans, merged by one more doc-bounded window
+    pass (running max of span_end; a new merge group starts where
+    span_start exceeds every previous end).
+
+    Returns ``(doc_id, n_tokens, dup_spans, dup_tokens, dup_frac)`` for
+    EVERY document — clean docs report zeros, so the output is exactly
+    one row per corpus doc (the shape a filter stage consumes).
+    """
+    spans = duplicated_spans(docs, min_words, min_count, id_col)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = spans.withColumn(
+        "_grp",
+        F.sum(
+            F.when(F.col("span_start") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grouped.groupBy(id_col, "_grp").agg(
+        F.count("*").alias("_n"),
+        (F.max("span_end") - F.min("span_start") + 1).alias("_covered"),
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.sum("_n").alias("dup_spans"), F.sum("_covered").alias("dup_tokens")
+    )
+    toks = docs.select(
+        id_col, F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            round_half_away(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Keeper-code encoding for exact_substr_dedup: one BIGINT per window
+# occurrence, ordered exactly like (doc_id, pos).  2^24 bounds the token
+# position (16M tokens/doc); doc_id then fits 2^39 (~5*10^11 docs)
+# before the code overflows int64 — both bounds documented, neither
+# binding at any registered scale.
+_KEEPER_POS_CAP = 1 << 24
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    min_words: int = 8,
+    min_count: int = 2,
+    keep: str = "first",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL — the second half of Lee et al. 2022 that
+    :func:`duplicated_spans` detects: rebuild every document's text with
+    duplicated substrings cut out.
+
+    ``keep='first'`` (the paper's "remove all but one occurrence"): each
+    duplicated window key elects the corpus-first occurrence — smallest
+    ``(doc_id, pos)``, compared as the single BIGINT
+    ``doc_id * 2^24 + pos`` so the election is one integer ``min`` both
+    here and in the DuckDB oracle — and a token survives if ANY window
+    covering it is either clean (not duplicated) or part of a keeper
+    occurrence.  ``keep='none'`` is the released tool's harsher mode
+    (github.com/google-research/deduplicate-text-datasets removes every
+    occurrence, including the first): no keeper, every token covered
+    only by duplicated windows is cut.
+
+    Returns one row per corpus doc:
+    ``(doc_id, n_tokens, kept_tokens, removed_tokens, clean_text)`` —
+    fully-removed docs report ``kept_tokens=0`` and empty text (the
+    caller's drop-empty filter is policy, not mechanism).
+
+    Plan: the detection stages of :func:`duplicated_spans` (windows ->
+    corpus counts -> join back), with the keeper elected INSIDE the
+    count aggregate (``min`` of the occurrence code — no window function
+    over the skewed key axis, boilerplate keys with 10^6 occurrences
+    stay one aggregate row) -> explode dup windows to covered token
+    positions (x min_words on duplicated windows only) -> per-position
+    survival aggregate -> anti-join against the token-position frame ->
+    order-pinned rebuild (``array_sort`` over (pos, tok) structs;
+    ``collect_list`` order is shuffle-nondeterministic, the sort makes
+    the rebuilt text partitioning-invariant).  Every shuffle key is
+    either the window key (AQE-splittable) or ``doc_id`` (doc-bounded).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from .dedup import selfjoin_ready
+
+    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("_toks"))
+    win_keys = F.when(
+        F.size("_toks") >= min_words,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - min_words),
+            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, min_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    code = F.col(id_col) * F.lit(_KEEPER_POS_CAP) + F.col("pos")
+    wins = selfjoin_ready(
+        toks.select(id_col, F.posexplode(win_keys).alias("pos", "key"))
+    )
+    dup_keys = (
+        wins.groupBy("key")
+        .agg(F.count("*").alias("occ"), F.min(code).alias("_keeper"))
+        .filter(F.col("occ") >= min_count)
+        .select("key", "_keeper")
+    )
+    is_keeper = (
+        (code == F.col("_keeper")) if keep == "first" else F.lit(False)
+    )
+    dup_wins = wins.join(dup_keys, "key").select(
+        id_col, "pos", is_keeper.alias("_kb")
+    )
+    removed = (
+        dup_wins.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + min_words - 1)
+            ).alias("tp"),
+            "_kb",
+        )
+        .groupBy(id_col, "tp")
+        .agg(F.max("_kb").alias("_covered_by_keeper"))
+        .filter(~F.col("_covered_by_keeper"))
+        .select(id_col, "tp")
+    )
+    tokpos = toks.select(id_col, F.posexplode("_toks").alias("tp", "tok"))
+    rebuilt = (
+        tokpos.join(removed, [id_col, "tp"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        toks.select(id_col, F.size("_toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # ------------------------------------------------------ distinctive terms
 
 

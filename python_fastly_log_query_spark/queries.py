@@ -4349,6 +4349,102 @@ def q_dedup_simhash_ngram(spark, sf):
     return simhash_docs(docs, bits=16, ngram=3)
 
 
+@register(
+    "exact_substr_spans",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),
+p AS (SELECT doc_id, lt, unnest(range(1, len(lt) - 6)) AS i
+      FROM toks WHERE len(lt) >= 8),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2] || ' ' ||
+                 lt[i+3] || ' ' || lt[i+4] || ' ' || lt[i+5] || ' ' ||
+                 lt[i+6] || ' ' || lt[i+7]) AS key
+      FROM p),
+c AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM w JOIN c USING (key)),
+r AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM d)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_words
+FROM r GROUP BY doc_id, isl
+""",
+)
+def q_exact_substr_spans(spark, sf):
+    """Exact substring dedup detection (corpus.duplicated_spans): every
+    maximal word run whose every stride-1 8-word window occurs >= 2
+    times anywhere in the corpus — the ExactSubstr semantics of Lee et
+    al. 2022, expressed relationally (windows -> corpus-wide counts ->
+    join back -> gaps-and-islands), completing the dedup family next to
+    the non-overlapping-chunk span_dedup and the sampled
+    winnow_fingerprints.  The oracle replays the identical window keys
+    (md5 of ' '-joined words) and the islands rollup."""
+    from .operators.corpus import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return duplicated_spans(docs, min_words=8, min_count=2)
+
+
+@register(
+    "exact_substr_stats",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),
+p AS (SELECT doc_id, lt, unnest(range(1, len(lt) - 6)) AS i
+      FROM toks WHERE len(lt) >= 8),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2] || ' ' ||
+                 lt[i+3] || ' ' || lt[i+4] || ' ' || lt[i+5] || ' ' ||
+                 lt[i+6] || ' ' || lt[i+7]) AS key
+      FROM p),
+c AS (SELECT key FROM w GROUP BY key HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM w JOIN c USING (key)),
+r AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM d),
+s AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end
+      FROM r GROUP BY doc_id, isl),
+m AS (SELECT doc_id, span_start, span_end,
+             CASE WHEN span_start > coalesce(max(span_end) OVER (
+                    PARTITION BY doc_id ORDER BY span_start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM s),
+g AS (SELECT doc_id, span_start, span_end,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY span_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM m),
+u AS (SELECT doc_id, count(*) AS n_in,
+             max(span_end) - min(span_start) + 1 AS covered
+      FROM g GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, CAST(sum(n_in) AS BIGINT) AS dup_spans,
+              CAST(sum(covered) AS BIGINT) AS dup_tokens
+       FROM u GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.lt) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(t.lt), 4)
+         AS dup_frac
+FROM toks t LEFT JOIN pd USING (doc_id)
+""",
+)
+def q_exact_substr_stats(spark, sf):
+    """Per-document duplicated-token fraction
+    (corpus.duplicated_token_stats) — Lee et al. 2022's headline removal
+    metric: the share of each doc's tokens inside a maximal duplicated
+    substring.  Composes over duplicated_spans with one more doc-bounded
+    window pass (interval-UNION merge of overlapping spans — islands are
+    disjoint in position space but their word coverage overlaps when the
+    position gap is under the window width); one row per corpus doc,
+    zeros for clean docs.  The oracle replays spans, merge groups, and
+    the integer union arithmetic."""
+    from .operators.corpus import duplicated_token_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return duplicated_token_stats(docs, min_words=8, min_count=2)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

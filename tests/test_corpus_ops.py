@@ -225,6 +225,196 @@ def test_span_dedup_ragged_tail_distinct_from_prefix(spark):
     assert got[0]["kept_spans"] == 1 and got[1]["kept_spans"] == 1
 
 
+# ------------------------------------------- exact duplicated substrings
+
+
+def _dup_spans_py(rows, L, min_count=2):
+    """Reference ExactSubstr detection in plain Python: stride-1 L-word
+    windows, corpus-wide counts, per-doc maximal runs of duplicated
+    positions."""
+    from collections import Counter
+
+    wins = []
+    for doc_id, text in enumerate(rows):
+        ws = text.split(" ")
+        for i in range(len(ws) - L + 1):
+            wins.append((doc_id, i, " ".join(ws[i : i + L])))
+    counts = Counter(g for _, _, g in wins)
+    spans = set()
+    for doc_id, _ in enumerate(rows):
+        dup = sorted(p for d, p, g in wins if d == doc_id and counts[g] >= min_count)
+        run = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                spans.add((doc_id, run[0], run[-1] + L - 1, run[-1] - run[0] + L))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    from python_fastly_log_query_spark.operators.corpus import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = [
+        "intro words here " + shared + " unique tail zero",
+        shared + " completely different ending for doc one",
+        # internal repetition: the same 8-word run twice inside ONE doc
+        "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8",
+        "entirely unrelated clean document with no duplicated runs at all",
+        "short doc",  # under 8 words -> no windows, no rows
+    ]
+    expect = _dup_spans_py(rows, L=8)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+        for r in duplicated_spans(_docs(spark, rows), min_words=8).collect()
+    }
+    assert got == expect
+    # the Lee et al. guarantee on this corpus: the shared 10-word run is
+    # reported as ONE maximal span per occurrence, at its exact offsets
+    assert (0, 3, 12, 10) in got and (1, 0, 9, 10) in got
+    assert not any(d == 3 or d == 4 for d, *_ in got)
+
+
+def test_duplicated_spans_partitioning_invariant_and_equi_join(spark):
+    from python_fastly_log_query_spark.operators.corpus import duplicated_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [shared + " a", "b " + shared, "clean c d e f g h i j k"]
+    base = _docs(spark, rows)
+    plain = duplicated_spans(base, min_words=8).collect()
+    parts = duplicated_spans(base.repartition(7), min_words=8).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, parts))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        duplicated_spans(base, min_words=8).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_token_stats_interval_union(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        duplicated_token_stats,
+    )
+
+    # doc 0's duplicated windows sit at positions 0 and 3 (via docs 1/2);
+    # positions 1-2 are unique, so the two maximal spans [0,7] and [3,10]
+    # OVERLAP in word coverage — dup_tokens must be the 11-word union,
+    # not the 16-word sum
+    rows = [
+        "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 t1 t2 t3",
+        "a1 a2 a3 a4 a5 a6 a7 a8",
+        "a4 a5 a6 a7 a8 b1 b2 b3",
+        "clean doc under the window width",
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in duplicated_token_stats(_docs(spark, rows), min_words=8).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # one row per corpus doc
+    assert got[0]["n_tokens"] == 14 and got[0]["dup_spans"] == 2
+    assert got[0]["dup_tokens"] == 11 and got[0]["dup_frac"] == 0.7857
+    assert got[1]["dup_tokens"] == 8 and got[1]["dup_frac"] == 1.0
+    assert got[3]["dup_spans"] == 0 and got[3]["dup_tokens"] == 0
+    assert got[3]["dup_frac"] == 0.0
+
+
+def _substr_dedup_py(rows, L, keep="first", min_count=2):
+    """Reference ExactSubstr removal in plain Python: keeper = first
+    (doc_id, pos) occurrence of each duplicated window key; a token
+    survives if any covering window is clean or a keeper occurrence."""
+    from collections import Counter, defaultdict
+
+    wins = []
+    for doc_id, text in enumerate(rows):
+        ws = text.split(" ")
+        for i in range(len(ws) - L + 1):
+            wins.append((doc_id, i, " ".join(ws[i : i + L])))
+    counts = Counter(g for _, _, g in wins)
+    keeper = {}
+    for doc_id, pos, g in sorted(wins):
+        if counts[g] >= min_count and g not in keeper:
+            keeper[g] = (doc_id, pos)
+    out = {}
+    for doc_id, text in enumerate(rows):
+        ws = text.split(" ")
+        verdict = defaultdict(lambda: None)  # None=clean, False=cut, True=keep
+        for d, pos, g in wins:
+            if d != doc_id or counts[g] < min_count:
+                continue
+            is_k = keep == "first" and keeper[g] == (d, pos)
+            for t in range(pos, pos + L):
+                verdict[t] = bool(verdict[t]) or is_k
+        kept = [w for t, w in enumerate(ws) if verdict[t] in (None, True)]
+        out[doc_id] = (len(ws), len(kept), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+def test_exact_substr_dedup_matches_python_reference(spark):
+    from python_fastly_log_query_spark.operators.corpus import exact_substr_dedup
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = [
+        "intro words here " + shared + " unique tail zero",
+        shared + " completely different ending for doc one",
+        "x1 x2 x3 x4 x5 x6 x7 x8 filler x1 x2 x3 x4 x5 x6 x7 x8",
+        "entirely unrelated clean document with no duplicated runs at all",
+        "short doc",
+    ]
+    for keep in ("first", "none"):
+        expect = _substr_dedup_py(rows, L=8, keep=keep)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["kept_tokens"],
+                r["removed_tokens"],
+                r["clean_text"],
+            )
+            for r in exact_substr_dedup(
+                _docs(spark, rows), min_words=8, keep=keep
+            ).collect()
+        }
+        assert got == expect, keep
+    # keep='first' pins the paper semantics on this corpus: doc 0 owns
+    # the keeper occurrence of every shared window, so it keeps ALL its
+    # text; doc 1 loses exactly the 10 shared words; the within-doc
+    # repeat keeps its first copy and cuts the second
+    first = {
+        r["doc_id"]: r
+        for r in exact_substr_dedup(_docs(spark, rows), min_words=8).collect()
+    }
+    assert first[0]["removed_tokens"] == 0
+    assert first[1]["removed_tokens"] == 10
+    assert first[1]["clean_text"] == "completely different ending for doc one"
+    assert first[2]["kept_tokens"] == 9  # first x1..x8 run + 'filler'
+    assert first[3]["removed_tokens"] == 0 and first[4]["removed_tokens"] == 0
+
+
+def test_exact_substr_dedup_full_removal_and_invariance(spark):
+    from python_fastly_log_query_spark.operators.corpus import exact_substr_dedup
+
+    dup = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [dup, dup, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9"]
+    base = _docs(spark, rows)
+    none = {r["doc_id"]: r for r in exact_substr_dedup(base, keep="none").collect()}
+    # keep='none' cuts BOTH copies; the doc row survives with empty text
+    assert none[0]["kept_tokens"] == 0 and none[0]["clean_text"] == ""
+    assert none[1]["kept_tokens"] == 0
+    assert none[2]["removed_tokens"] == 0
+    first = {r["doc_id"]: r for r in exact_substr_dedup(base).collect()}
+    assert first[0]["removed_tokens"] == 0 and first[1]["kept_tokens"] == 0
+    plain = exact_substr_dedup(base).collect()
+    parts = exact_substr_dedup(base.repartition(7)).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, parts))
+    with pytest.raises(ValueError, match="keep"):
+        exact_substr_dedup(base, keep="last")
+
+
 # ------------------------------------------------------ distinctive terms
 
 
