@@ -603,6 +603,136 @@ def top_terms_per_doc(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term list —
+    the keyword-search shape every curation pipeline needs (audit "show
+    me docs about X", decontamination drill-downs, eval-set mining).
+    Returns the top-``k`` ``(id, bm25)`` rows, score half-away-rounded
+    to 4 decimals, candidates = docs matching >= 1 query term.
+
+    idf is the rational Robertson-Sparck Jones core
+    ``(N - df + 0.5) / (df + 0.5)`` WITHOUT the log — same reasoning as
+    :func:`top_terms_per_doc`: every operation is then IEEE ``+ - * /``
+    on integer-valued doubles (correctly rounded, bit-identical on any
+    engine), where a log idf would hang result bits on
+    transcendental-function ulps; the paper's ``ln`` drops in as a
+    one-line swap at deploy.  The per-term saturation
+    ``tf*(k1+1) / (tf + k1*(1-b + b*dl*N/totlen))`` is standard, with
+    the doc-length ratio computed as ``dl * N / totlen`` (one product,
+    one division — no pre-averaged float) and the cross-term sum folded
+    LEFT-ASSOCIATED in the fixed ``terms`` order, all mirrored
+    token-for-token by the SQL oracle.
+
+    Plan: ONE map-only pass projects per-doc ``(dl, tf_i)`` from the
+    token array (no explode — per-term counts are array-filter sizes,
+    so nothing doc-sized ever shuffles); a 1-ROW global aggregate
+    ``(N, totlen, df_i)`` broadcasts back; scoring + top-k is a second
+    map-only pass into TakeOrderedAndProject.  At 10^12 docs both
+    passes are embarrassingly parallel and the only coordination is the
+    1-row stats frame — contrast an explode->join plan, which shuffles
+    a row per token.
+    """
+    def _tf(t: str) -> F.Column:
+        # one-arg lambda: a two-arg one would receive the array INDEX
+        return F.size(F.filter("_toks", lambda w: w == F.lit(t)))
+
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+    base = toks.select(
+        id_col,
+        F.size("_toks").cast("long").alias("_dl"),
+        *[_tf(t).cast("long").alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_tot"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        df = F.col(f"_df{i}").cast("double")
+        idf = (F.col("_n").cast("double") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        dlr = F.col("_dl").cast("double") * F.col("_n") / F.col("_tot")
+        s = (
+            idf
+            * (tf * F.lit(k1 + 1))
+            / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * dlr))
+        )
+        score = s if score is None else score + s
+    matched = sum(
+        (F.col(f"_tf{i}") for i in range(len(terms))), F.lit(0)
+    ) > 0
+    return (
+        base.join(F.broadcast(g))
+        .filter(matched)
+        .select(id_col, score.alias("_s"))
+        .orderBy(F.desc("_s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, round_half_away("_s", 4).alias("bm25"))
+    )
+
+
+def bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — the identical expression
+    tree (same literals via ``repr``, same association, same rational
+    idf), so scores are bit-equal before the shared round(4)."""
+    tf_cols = ",\n                ".join(
+        f"CAST(len(list_filter(toks, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(n - df{i} + 0.5) / (df{i} + 0.5) * (tf{i} * {k1 + 1!r}) "
+        f"/ (tf{i} + {k1!r} * ({1 - b!r} + {b!r} * "
+        f"(CAST(dl AS DOUBLE) * n / tot)))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+WITH t AS (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}),
+base AS (SELECT {id_col}, CAST(len(toks) AS BIGINT) AS dl,
+                {tf_cols}
+         FROM t),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS tot,
+             {df_cols}
+      FROM base)
+SELECT {id_col}, round({score}, 4) AS bm25
+FROM base CROSS JOIN g
+WHERE {matched} > 0
+ORDER BY {score} DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------- PII redaction
 
 # (name, pattern, replacement) applied IN ORDER — order is part of the

@@ -3306,6 +3306,74 @@ def q_semdedup_verdicts(spark, sf):
     return semdedup(emb, threshold=0.4, n_cells=8)
 
 
+def _kmeans_oracle() -> str:
+    from .operators.similarity import kmeans_sql
+
+    return kmeans_sql(k=8, iters=3)
+
+
+def _semdedup_learned_oracle() -> str:
+    from .operators.similarity import kmeans_sql_parts
+
+    ctes, final = kmeans_sql_parts(k=8, iters=3)
+    return f"""
+WITH {ctes},
+asg AS ({final}),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM embeddings),
+p AS (SELECT y.vec_id AS kb,
+             list_dot_product(bx.embedding, by.embedding) / (bx.nrm * by.nrm) AS c
+      FROM asg x JOIN asg y
+        ON x.cell = y.cell
+       AND (x.dist_sq > y.dist_sq OR (x.dist_sq = y.dist_sq AND x.vec_id < y.vec_id))
+      JOIN base bx ON bx.vec_id = x.vec_id
+      JOIN base by ON by.vec_id = y.vec_id),
+d AS (SELECT DISTINCT kb AS vec_id FROM p WHERE c > 0.4)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM asg a LEFT JOIN d USING (vec_id)
+"""
+
+
+@register("semdedup_learned_verdicts", _semdedup_learned_oracle())
+def q_semdedup_learned_verdicts(spark, sf):
+    """SemDeDup over LEARNED clusters (similarity.semdedup_learned) —
+    the paper's actual composition: k-means (8 cells, 3 Lloyd's rounds,
+    integer-exact) trains the quantizer in-engine, every vector is
+    labeled, and the within-cell keep-the-outlier scan orders by the
+    INTEGER dist_sq descending (outlier first — no float ordering key)
+    before dropping the later element of any pair with cosine > 0.4.
+    The oracle unrolls the whole thing: 3 training rounds + assignment
+    + the pair cut, one SQL statement."""
+    from .operators.similarity import semdedup_learned
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semdedup_learned(emb, threshold=0.4, k=8, iters=3)
+
+
+@register("embedding_kmeans", _kmeans_oracle())
+def q_embedding_kmeans(spark, sf):
+    """Integer-exact Lloyd's k-means trained in-engine
+    (similarity.kmeans_fit, k=8, 3 iterations) + the final assignment
+    (kmeans_assign) — the LEARNED coarse quantizer the IVF family's
+    deterministic codebook defers to, and the clustering stage
+    SemDeDup's paper uses.  Embeddings quantize to floor(x*10^6+.5)
+    longs so init (k lowest ids), argmin assignment (ties to the lowest
+    cell), and the floor-division centroid update are all associative
+    integer arithmetic — bit-identical under any partitioning; the
+    oracle unrolls the whole training loop as a 3-round SQL fixpoint
+    (the pagerank/BPE pattern).  Per iteration: one map-only assignment
+    pass + ONE k*dim-row shuffle (MLlib's reduce shape).  Output
+    ``(vec_id, cell, dist_sq)`` — dist_sq pins the trained centroid
+    VALUES, not just the labels."""
+    from .operators.similarity import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    return kmeans_assign(emb, cents)
+
+
 @register(
     "linear_quality_scores",
     """
@@ -4443,6 +4511,130 @@ def q_exact_substr_stats(spark, sf):
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     return duplicated_token_stats(docs, min_words=8, min_count=2)
+
+
+@register(
+    "exact_substr_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lt FROM documents),
+p AS (SELECT doc_id, lt, unnest(range(1, len(lt) - 6)) AS i
+      FROM toks WHERE len(lt) >= 8),
+w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2] || ' ' ||
+                 lt[i+3] || ' ' || lt[i+4] || ' ' || lt[i+5] || ' ' ||
+                 lt[i+6] || ' ' || lt[i+7]) AS key
+      FROM p),
+k AS (SELECT key, min(doc_id * 16777216 + pos) AS keeper
+      FROM w GROUP BY key HAVING count(*) >= 2),
+d AS (SELECT w.doc_id, w.pos,
+             (w.doc_id * 16777216 + w.pos = k.keeper) AS kb
+      FROM w JOIN k USING (key)),
+c AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS tp, kb FROM d),
+r AS (SELECT doc_id, tp FROM c GROUP BY doc_id, tp HAVING NOT max(kb)),
+f AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, lt[i] AS tok
+      FROM (SELECT doc_id, lt, unnest(range(1, len(lt) + 1)) AS i FROM toks)),
+kept AS (SELECT f.doc_id, f.tp, f.tok FROM f
+         LEFT JOIN r ON f.doc_id = r.doc_id AND f.tp = r.tp
+         WHERE r.doc_id IS NULL),
+reb AS (SELECT doc_id, count(*) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY tp) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.lt) AS BIGINT) AS n_tokens,
+       CAST(coalesce(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(t.lt) - coalesce(reb.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN reb USING (doc_id)
+""",
+)
+def q_exact_substr_dedup(spark, sf):
+    """ExactSubstr REMOVAL (corpus.exact_substr_dedup, keep='first') —
+    the other half of Lee et al. 2022: rebuild every doc's text with
+    duplicated substrings cut, keeping the corpus-first occurrence of
+    each duplicated window (elected as one integer min over
+    ``doc_id * 2^24 + pos`` — identical arithmetic in the oracle).  A
+    token survives unless it is covered by a duplicated window and no
+    keeper occurrence covers it; the rebuilt text is order-pinned
+    (array_sort over (pos, tok)) so the oracle compares the cleaned
+    STRING per doc, not just counts.  One row per corpus doc; empty
+    text when everything was cut."""
+    from .operators.corpus import exact_substr_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return exact_substr_dedup(docs, min_words=8, min_count=2, keep="first")
+
+
+def _ivf_learned_oracle() -> str:
+    from .operators.similarity import kmeans_sql_parts
+
+    ctes, final = kmeans_sql_parts(k=8, iters=3)
+    return f"""
+WITH {ctes},
+asg AS ({final}),
+qq AS (SELECT qv FROM q WHERE vec_id = 0),
+probe AS (SELECT c3.cell
+          FROM c3 CROSS JOIN qq
+          ORDER BY CAST(list_dot_product(c3.cv, c3.cv)
+                        - 2 * list_dot_product(c3.cv, qq.qv)
+                        + list_dot_product(qq.qv, qq.qv) AS BIGINT) ASC,
+                   c3.cell ASC
+          LIMIT 2),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM embeddings),
+qe AS (SELECT embedding AS q_e, nrm AS qn FROM base WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.embedding, q_e) / (b.nrm * qn), 4) AS cosine
+FROM base b JOIN asg USING (vec_id) CROSS JOIN qe
+WHERE asg.cell IN (SELECT cell FROM probe)
+ORDER BY list_dot_product(b.embedding, q_e) / (b.nrm * qn) DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_ivf_learned_topk", _ivf_learned_oracle())
+def q_embedding_ivf_learned_topk(spark, sf):
+    """IVF ANN top-10 over the TRAINED coarse quantizer
+    (similarity.ivf_learned_topk): kmeans_fit centroids (k=8, 3
+    integer-exact Lloyd's rounds) replace ivf_assign's deterministic
+    codebook — the "swap in trained centroids at deploy time" the IVF
+    family deferred to, now trained, probed and ranked in-engine.
+    Probe = the query's 2 nearest cells by exact integer squared-L2
+    (driver-side over the k*dim centroid literals, one 1-row collect);
+    scan = the map-only int64-matmul assignment stage filtered to the
+    probed cells (partition-prunable when cell keys the storage);
+    ranking = exact float cosine within the probe.  The oracle unrolls
+    training + probe + rank as one SQL statement over kmeans_sql_parts."""
+    from .operators.similarity import ivf_learned_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_learned_topk(emb, 0, 10, n_cells=8, iters=3, nprobe=2)
+
+
+def _bm25_oracle() -> str:
+    from .operators.corpus import bm25_sql
+
+    return bm25_sql(["vector", "hash", "stream"], k=10)
+
+
+@register("bm25_search_topk", _bm25_oracle())
+def q_bm25_search_topk(spark, sf):
+    """BM25 ranked retrieval (corpus.bm25_topk) for the fixed query
+    ['vector', 'hash', 'stream'] — top-10 docs, score rounded
+    half-away to 4 decimals.  idf is the rational Robertson-Sparck
+    Jones core (N-df+0.5)/(df+0.5) un-logged (the top_terms_per_doc
+    rule: IEEE +-*/ on integer-valued doubles is bit-deterministic
+    cross-engine, transcendental ulps are not; ln() drops in as a
+    deploy-time swap); saturation tf*(k1+1)/(tf+k1*(1-b+b*dl*N/totlen))
+    with k1=1.2, b=0.75 and a left-associated cross-term fold, mirrored
+    token-for-token by the oracle.  Plan: one map-only (dl, tf_i)
+    projection from the token array (no explode — nothing doc-sized
+    shuffles), a 1-ROW broadcast stats aggregate (N, totlen, df_i),
+    then a second map-only scoring pass into TakeOrderedAndProject."""
+    from .operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bm25_topk(docs, ["vector", "hash", "stream"], k=10)
 
 
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:

@@ -706,3 +706,36 @@ def test_domain_scorecard_plan_broadcasts_dims_no_python(spark):
     assert _nodes(plan, "BroadcastHashJoin") >= 3  # sfx2 + sfx1 + blocklist
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bm25_plan_map_only_scoring_one_row_broadcast(spark):
+    """BM25: no explode (nothing doc-sized shuffles), the stats side is
+    a 1-row broadcast (BroadcastNestedLoopJoin over ONE row is the
+    correct degenerate cross-join — assert it is against the 1-row
+    aggregate, not the corpus), top-k is TakeOrderedAndProject, zero
+    Python stages."""
+    from python_fastly_log_query_spark.queries import q_bm25_search_topk
+
+    plan = _plan(q_bm25_search_topk(spark, SF_SMALL))
+    assert "Generate" not in plan  # no explode
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    # the only join is the broadcast of the 1-row stats aggregate
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_ivf_learned_scan_filters_cells_no_join(spark):
+    """Learned-IVF: the probed cells are PLAN LITERALS (cell IN (..)) on
+    the map-only assignment stage — no join between the corpus and any
+    probe frame; the only join is the broadcast of the 1-row query
+    vector."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        ivf_learned_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = ivf_learned_topk(emb, 0, 10, n_cells=4, iters=1, nprobe=2)
+    plan = _plan(df)
+    assert "cell#" in plan and "IN (" in plan  # literal cell-set filter
+    assert _nodes(plan, "SortMergeJoin") == 0
+    assert "TakeOrderedAndProject" in plan
