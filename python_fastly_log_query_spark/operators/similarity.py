@@ -890,6 +890,110 @@ def ivf_learned_topk(
     )
 
 
+def _km_probe_df(
+    df: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exploded ``(id, cell)`` multi-probe frame: each vector's
+    ``nprobe`` nearest trained cells by exact integer squared-L2, ties
+    to the lowest cell — the probe side of :func:`knn_graph_learned`.
+    Same int64 matmul batch stage as :func:`_km_assign_df`; the
+    ordering key ``d * k + cell`` (unique per row, < 2^63 under the
+    documented KMEANS_SCALE bounds) replays the oracle's
+    ``row_number() OVER (ORDER BY dist, cell)`` exactly."""
+    import numpy as np
+    import pandas as pd
+
+    C, c2 = _km_np(centroids)
+    k = C.shape[0]
+
+    def _iter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+            d = np.einsum("ij,ij->i", Q, Q)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+            key = d * k + np.arange(k, dtype=np.int64)[None, :]
+            order = np.argsort(key, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(np.int64), nprobe),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _iter, schema=f"{id_col} long, cell int"
+    )
+
+
+def knn_graph_learned(
+    emb: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+    mode: str = "auto",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the trained quantizer — top-``k``
+    nearest neighbors for EVERY vector, the backbone structure
+    graph-based curation builds on (SemDeDup-style cluster refinement,
+    graph dedup, diversity sampling, label propagation).
+
+    Candidates = (source probes cell) x (neighbor homed in cell):
+    :func:`_km_probe_df` gives each vector its ``nprobe`` nearest
+    trained cells (exact integer L2, map-only), :func:`_km_assign_df`
+    gives every vector its home cell, and ONE cell-keyed equi-join
+    produces the candidate pairs — never an all-pairs product.  Exact
+    cosine on candidates only (:func:`exact_cosine_pairs`, left-fold
+    bit-identical to the oracle), then a per-source ranking window.
+    Returns ``(id, nbr_id, rank, cosine[4dp])``.
+
+    Scale contract is :func:`semdedup`'s: ``n_cells`` grows with N so
+    per-cell population stays bounded — candidate volume is then
+    ``N * nprobe * cell_size``, linear in N at fixed cell size, and the
+    join/window shuffles key on ``cell`` / source id (no hot key:
+    cells are size-bounded by construction).  ``nprobe == n_cells``
+    degrades to the exact brute-force graph (tested).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import selfjoin_ready
+
+    cents = kmeans_fit(emb, k=n_cells, iters=iters, scale=scale, id_col=id_col)
+    base = selfjoin_ready(
+        emb.select(id_col, quantize(F.col("embedding"), scale).alias("_qv"))
+    )
+    probes = _km_probe_df(base, cents, nprobe, "_qv", id_col).select(
+        F.col(id_col).alias("vec_a"), "cell"
+    )
+    home = _km_assign_df(base, cents, "_qv", id_col).select(
+        F.col(id_col).alias("vec_b"), "cell"
+    )
+    cand = (
+        probes.join(home, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    cos = exact_cosine_pairs(cand, emb, id_col=id_col, mode=mode)
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vec_a").alias(id_col),
+            F.col("vec_b").alias("nbr_id"),
+            F.col("rank").cast("int").alias("rank"),
+            round_half_away("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 # ------------------------------------------------------------- SemDeDup
 
 

@@ -972,11 +972,13 @@ def q_lang_id(spark, sf):
 @register(
     "embedding_topk_cosine",
     """
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+q AS (SELECT embedding AS qe FROM ed WHERE vec_id = 0),
 sims AS (SELECT vec_id,
                 list_dot_product(embedding, qe)
                 / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))) AS c
-         FROM embeddings, q)
+         FROM ed, q)
 SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id ASC LIMIT 10
 """,
 )
@@ -1249,7 +1251,9 @@ def _bucket_sql(col: str, n_planes: int) -> str:
 @register(
     "embedding_lsh_topk",
     f"""
-WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM embeddings),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM ed),
 q AS (SELECT embedding AS qe, bucket AS qbucket FROM b WHERE vec_id = 0)
 SELECT vec_id,
        round(list_dot_product(embedding, qe)
@@ -1274,9 +1278,11 @@ _IVF_CELLS, _IVF_NPROBE = 8, 2
 @register(
     "embedding_ivf_topk",
     f"""
-WITH base AS (SELECT vec_id, embedding,
-                     sqrt(list_dot_product(embedding, embedding)) AS nrm
-              FROM embeddings),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
 cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < {_IVF_CELLS}),
 scored AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,
                   list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
@@ -1309,7 +1315,9 @@ def q_embedding_ivf_topk(spark, sf):
 @register(
     "embedding_neardup_pairs",
     f"""
-WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM embeddings)
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+b AS (SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM ed)
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        round(list_dot_product(a.embedding, b2.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
@@ -1343,7 +1351,7 @@ def _band_bucket_sql(col: str, band: int, r: int) -> str:
 _BANDED_R, _BANDED_B = 3, 8
 
 _BANDED_KEYED_SQL = "\nUNION ALL ".join(
-    f"SELECT vec_id, embedding, {b} AS band, {_band_bucket_sql('embedding', b, _BANDED_R)} AS key FROM embeddings"
+    f"SELECT vec_id, embedding, {b} AS band, {_band_bucket_sql('embedding', b, _BANDED_R)} AS key FROM ed"
     for b in range(_BANDED_B)
 )
 
@@ -1351,7 +1359,9 @@ _BANDED_KEYED_SQL = "\nUNION ALL ".join(
 @register(
     "embedding_neardup_banded",
     f"""
-WITH keyed AS ({_BANDED_KEYED_SQL})
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+keyed AS ({_BANDED_KEYED_SQL})
 SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        round(list_dot_product(a.embedding, b2.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
@@ -1554,11 +1564,13 @@ def q_media_features(spark, sf):
 @register(
     "embedding_neardup_banded_auto",
     """
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings)
 SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
        round(list_dot_product(a.embedding, b2.embedding)
              / (sqrt(list_dot_product(a.embedding, a.embedding))
                 * sqrt(list_dot_product(b2.embedding, b2.embedding))), 4) AS cosine
-FROM embeddings a JOIN embeddings b2 ON a.vec_id < b2.vec_id
+FROM ed a JOIN ed b2 ON a.vec_id < b2.vec_id
 WHERE round(list_dot_product(a.embedding, b2.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding))
          * sqrt(list_dot_product(b2.embedding, b2.embedding))), 4) >= 0.45
@@ -1676,11 +1688,13 @@ def _pq_sqdist_sql(a: str, b: str, sw: int = 8) -> str:
 
 
 _PQ_CODES_CTE = f"""
-WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM ed WHERE vec_id < 16),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
 expl AS (
   SELECT e.vec_id, s.sub, c.cent_id, {_pq_sqdist_sql('e.embedding', 'c.ce')} AS d
-  FROM embeddings e, subs s, cents c
+  FROM ed e, subs s, cents c
 ),
 ranked AS (
   SELECT vec_id, sub, cent_id,
@@ -1714,7 +1728,7 @@ def q_embedding_pq_codes(spark, sf):
     "embedding_pq_topk",
     _PQ_CODES_CTE
     + f""",
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+q AS (SELECT embedding AS qe FROM ed WHERE vec_id = 0),
 dist AS (
   SELECT s.sub, CAST(c.cent_id AS INT) AS code, {_pq_sqdist_sql('q.qe', 'c.ce')} AS qd
   FROM cents c, subs s, q
@@ -1741,9 +1755,11 @@ def q_embedding_pq_topk(spark, sf):
 @register(
     "embedding_ivf_pq_topk",
     f"""
-WITH base AS (SELECT vec_id, embedding,
-                     sqrt(list_dot_product(embedding, embedding)) AS nrm
-              FROM embeddings),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
 icents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < {_IVF_CELLS}),
 scored AS (SELECT b.vec_id, b.nrm, c.cell,
                   list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
@@ -1755,11 +1771,11 @@ assign AS (SELECT vec_id, cell FROM (
 q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = 0),
 probe AS (SELECT cell FROM icents, q
           ORDER BY list_dot_product(ce, qe) / (cn * qn) DESC, cell ASC LIMIT {_IVF_NPROBE}),
-pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM embeddings WHERE vec_id < 16),
+pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM ed WHERE vec_id < 16),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
 expl AS (
   SELECT e.vec_id, s.sub, c.cent_id, {_pq_sqdist_sql('e.embedding', 'c.pce')} AS d
-  FROM embeddings e, subs s, pcents c
+  FROM ed e, subs s, pcents c
 ),
 codes AS (
   SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code FROM (
@@ -2227,11 +2243,13 @@ def q_ip_sessions_chunked(spark, sf):
 @register(
     "embedding_pq_rerank_topk",
     f"""
-WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 64),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM ed WHERE vec_id < 64),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
 expl AS (
   SELECT e.vec_id, s.sub, c.cent_id, {{sqd_e}} AS d
-  FROM embeddings e, subs s, cents c
+  FROM ed e, subs s, cents c
 ),
 codes AS (
   SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code FROM (
@@ -2241,7 +2259,7 @@ codes AS (
 ),
 q AS (SELECT embedding AS qe,
              sqrt(list_dot_product(embedding, embedding)) AS qn
-      FROM embeddings WHERE vec_id = 0),
+      FROM ed WHERE vec_id = 0),
 dist AS (
   SELECT s.sub, CAST(c.cent_id AS INT) AS code, {{sqd_q}} AS qd
   FROM cents c, subs s, q
@@ -2255,7 +2273,7 @@ short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 200)
 SELECT e.vec_id,
        round(list_dot_product(e.embedding, q.qe)
              / (sqrt(list_dot_product(e.embedding, e.embedding)) * q.qn), 4) AS cosine
-FROM embeddings e JOIN short ON e.vec_id = short.vec_id, q
+FROM ed e JOIN short ON e.vec_id = short.vec_id, q
 ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
 """.format(
         sqd_e=_pq_sqdist_sql("e.embedding", "c.ce"),
@@ -2281,9 +2299,11 @@ def q_embedding_pq_rerank_topk(spark, sf):
 @register(
     "embedding_ivf_pq_rerank_topk",
     f"""
-WITH base AS (SELECT vec_id, embedding,
-                     sqrt(list_dot_product(embedding, embedding)) AS nrm
-              FROM embeddings),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
 icents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < 8),
 scored AS (SELECT b.vec_id, b.nrm, c.cell,
                   list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
@@ -2295,11 +2315,11 @@ assign AS (SELECT vec_id, cell FROM (
 q AS (SELECT embedding AS qe, nrm AS qn FROM base WHERE vec_id = 0),
 probe AS (SELECT cell FROM icents, q
           ORDER BY list_dot_product(ce, qe) / (cn * qn) DESC, cell ASC LIMIT 4),
-pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM embeddings WHERE vec_id < 64),
+pcents AS (SELECT vec_id AS cent_id, embedding AS pce FROM ed WHERE vec_id < 64),
 subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
 expl AS (
   SELECT e.vec_id, s.sub, c.cent_id, {{sqd_e}} AS d
-  FROM embeddings e, subs s, pcents c
+  FROM ed e, subs s, pcents c
 ),
 codes AS (
   SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cent_id AS INT) AS code FROM (
@@ -3266,9 +3286,11 @@ def q_vocab_oov_stats(spark, sf):
 @register(
     "semdedup_verdicts",
     f"""
-WITH base AS (SELECT vec_id, embedding,
-                     sqrt(list_dot_product(embedding, embedding)) AS nrm
-              FROM embeddings),
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
 cents AS (SELECT vec_id AS cell, embedding AS ce, nrm AS cn FROM base WHERE vec_id < 8),
 scored AS (SELECT b.vec_id, b.embedding, b.nrm, c.cell,
                   list_dot_product(b.embedding, c.ce) / (b.nrm * c.cn) AS cs
@@ -3319,9 +3341,11 @@ def _semdedup_learned_oracle() -> str:
     return f"""
 WITH {ctes},
 asg AS ({final}),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       FROM embeddings),
 base AS (SELECT vec_id, embedding,
                 sqrt(list_dot_product(embedding, embedding)) AS nrm
-         FROM embeddings),
+         FROM ed),
 p AS (SELECT y.vec_id AS kb,
              list_dot_product(bx.embedding, by.embedding) / (bx.nrm * by.nrm) AS c
       FROM asg x JOIN asg y
@@ -4579,9 +4603,11 @@ probe AS (SELECT c3.cell
                         + list_dot_product(qq.qv, qq.qv) AS BIGINT) ASC,
                    c3.cell ASC
           LIMIT 2),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       FROM embeddings),
 base AS (SELECT vec_id, embedding,
                 sqrt(list_dot_product(embedding, embedding)) AS nrm
-         FROM embeddings),
+         FROM ed),
 qe AS (SELECT embedding AS q_e, nrm AS qn FROM base WHERE vec_id = 0)
 SELECT b.vec_id,
        round(list_dot_product(b.embedding, q_e) / (b.nrm * qn), 4) AS cosine
@@ -4609,6 +4635,64 @@ def q_embedding_ivf_learned_topk(spark, sf):
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     return ivf_learned_topk(emb, 0, 10, n_cells=8, iters=3, nprobe=2)
+
+
+def _knn_graph_oracle() -> str:
+    from .operators.similarity import kmeans_sql_parts
+
+    ctes, final = kmeans_sql_parts(k=8, iters=3)
+    dist = (
+        "CAST(list_dot_product(c3.cv, c3.cv)"
+        " - 2 * list_dot_product(c3.cv, q.qv)"
+        " + list_dot_product(q.qv, q.qv) AS BIGINT)"
+    )
+    return f"""
+WITH {ctes},
+asg AS ({final}),
+probe AS (SELECT vec_id AS va, cell FROM (
+            SELECT q.vec_id, c3.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {dist} ASC, c3.cell ASC) AS rn
+            FROM q CROSS JOIN c3)
+          WHERE rn <= 2),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
+cand AS (SELECT p.va AS vec_a, h.vec_id AS vec_b
+         FROM probe p JOIN asg h ON h.cell = p.cell AND h.vec_id <> p.va),
+cs AS (SELECT vec_a, vec_b,
+              list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) AS c
+       FROM cand JOIN base a ON a.vec_id = vec_a
+                 JOIN base b ON b.vec_id = vec_b),
+r AS (SELECT vec_a, vec_b, c,
+             row_number() OVER (PARTITION BY vec_a
+                                ORDER BY c DESC, vec_b ASC) AS rank
+      FROM cs)
+SELECT vec_a AS vec_id, vec_b AS nbr_id, CAST(rank AS INT) AS rank,
+       round(c, 4) AS cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("embedding_knn_graph", _knn_graph_oracle())
+def q_embedding_knn_graph(spark, sf):
+    """Approximate k-NN GRAPH over the trained quantizer
+    (similarity.knn_graph_learned, k=3 neighbors, 8 trained cells, 2
+    probes) — top-3 nearest neighbors for EVERY vector, the backbone
+    graph-based curation builds on (SemDeDup-style refinement, graph
+    dedup, diversity sampling).  Candidates = one cell-keyed equi-join
+    of the map-only multi-probe frame (each vector's 2 nearest trained
+    cells by exact integer L2) against the home-cell assignment — never
+    an all-pairs product; exact cosine on candidates only (left-fold,
+    bit-identical to the oracle); per-source ranking window.  The
+    oracle unrolls training + probe + join + rank as one statement;
+    n_cells is the knob that bounds cell size at scale."""
+    from .operators.similarity import knn_graph_learned
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return knn_graph_learned(emb, k=3, n_cells=8, iters=3, nprobe=2)
 
 
 def _bm25_oracle() -> str:
