@@ -220,3 +220,96 @@ ranked AS (
   FROM acounts)
 SELECT dst, term, n, rnk FROM ranked WHERE rnk <= {top_k}
 """
+
+# ------------------------------------------------------ label propagation
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over a weighted (src, dst, w) edge list — the host-clustering signal
+    a curation pipeline uses to find mirror farms / template networks
+    that PageRank's authority score and connected components' reach
+    both miss (LPA groups DENSELY linked hosts, not merely connected
+    ones).  Raghavan et al. 2007's rule made bit-deterministic: every
+    round, each node adopts the label with the greatest incident edge
+    weight among its neighbors, ties broken by the lexicographically
+    smallest label; a node with no neighbors keeps its label.  A FIXED
+    round count (not convergence polling) keeps the result a pure
+    function of the edge list — synchronous LPA can oscillate on
+    bipartite structure, and a fixed-K snapshot of a deterministic
+    iteration is reproducible under any partitioning, which matters
+    more to a data pipeline than squeezing out the last merge.
+
+    Scale shape (reference analog: the grouped rollup loops of
+    ``/root/reference/src/analyze/analytics.py`` iterated to fixpoint):
+    the symmetrized edge list is built once (hosts²-bounded, dimension-
+    like next to 10^12 pages) and each round is ONE join of labels onto
+    the neighbor key and ONE map-side-combined count shuffle on
+    ``(v, label)`` — in-degree skew from a hot hub is absorbed there,
+    exactly like ``anchor_text_topk``; the ranking window that follows
+    partitions over each node's NEIGHBOR-LABEL VOCABULARY (≤ distinct
+    neighbor labels, which LPA itself collapses toward the community
+    count as rounds proceed), never over raw edges.  ``localCheckpoint``
+    keeps the K-round plan shallow (the pagerank/connected_components
+    pattern)."""
+    und = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"), "w")
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("u"), "w"))
+        .filter(F.col("v") != F.col("u"))
+        .groupBy("v", "u")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()  # reused every round; cut the union's lineage
+    )
+    lab = und.select(F.col("v").alias("host")).distinct().withColumn(
+        "label", F.col("host")
+    )
+    for k in range(1, iterations + 1):
+        votes = (
+            und.join(lab.select(F.col("host").alias("u"), "label"), "u")
+            .groupBy("v", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("wsum"), F.asc("label"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("host"), F.col("label").alias("new_label"))
+        )
+        lab = lab.join(winner, "host", "left").select(
+            "host", F.coalesce("new_label", "label").alias("label")
+        )
+        if k % checkpoint_every == 0:
+            lab = lab.localCheckpoint(eager=False)
+    return lab
+
+
+def label_propagation_sql(iterations: int, edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) unrolling :func:`label_propagation`
+    over a ``{edges_cte}(src, dst, w)`` relation — kept in lockstep with
+    the DataFrame loop (the pagerank_sql pattern)."""
+    parts = [
+        f"und AS (SELECT v, u, CAST(sum(w) AS BIGINT) AS w FROM ("
+        f"SELECT src AS v, dst AS u, w FROM {edges_cte} UNION ALL "
+        f"SELECT dst AS v, src AS u, w FROM {edges_cte}) "
+        "WHERE v <> u GROUP BY 1, 2)",
+        "lab0 AS (SELECT DISTINCT v AS host, v AS label FROM und)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"lab{k - 1}"
+        parts.append(f"""
+cnt{k} AS (
+  SELECT und.v, l.label, CAST(sum(und.w) AS BIGINT) AS wsum
+  FROM und JOIN {prev} l ON l.host = und.u GROUP BY 1, 2),
+win{k} AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY wsum DESC, label) AS rn
+    FROM cnt{k}) WHERE rn = 1),
+lab{k} AS (
+  SELECT l.host, coalesce(w.label, l.label) AS label
+  FROM {prev} l LEFT JOIN win{k} w ON w.v = l.host)""")
+    return ",".join(parts), f"SELECT host, label FROM lab{iterations}"

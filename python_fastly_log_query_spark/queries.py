@@ -4721,6 +4721,33 @@ def q_bm25_search_topk(spark, sf):
     return bm25_topk(docs, ["vector", "hash", "stream"], k=10)
 
 
+def _wg_lpa_oracle() -> str:
+    from .operators.webgraph import label_propagation_sql
+
+    ctes, final = label_propagation_sql(4)
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_communities", _wg_lpa_oracle())
+def q_host_communities(spark, sf):
+    """Host communities via deterministic synchronous label propagation
+    (operators/webgraph.py:label_propagation, 4 rounds) over the
+    extracted link graph — the mirror-farm / template-network detector
+    that complements PageRank (authority) and connected components
+    (reach): LPA clusters DENSELY linked hosts.  Each round is one join
+    of labels onto the symmetrized neighbor key plus one map-side-
+    combined (v, label) count shuffle; the argmax window ranks each
+    node's neighbor-label VOCABULARY, never raw edges, so hub in-degree
+    never serializes a partition.  Fixed round count keeps the result a
+    pure function of the edge list; the oracle is the 4-stage unrolled
+    SQL fixpoint (the pagerank/BPE pattern)."""
+    from .operators.webgraph import extract_outlinks, label_propagation
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = extract_outlinks(_wg_pages_spark(docs))
+    return label_propagation(edges, iterations=4)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -109,3 +109,74 @@ def test_anchor_text_topk_self_description_not_used(spark):
     )
     out = anchor_text_topk(pages, binary=False).collect()
     assert [(r["dst"], r["term"]) for r in out] == [("t.com", "neutral")]
+
+
+def _py_lpa(edges, iterations=4):
+    und = defaultdict(int)
+    for s, d, w in edges:
+        if s != d:
+            und[(s, d)] += w
+            und[(d, s)] += w
+    nbrs = defaultdict(list)
+    for (v, u), w in und.items():
+        nbrs[v].append((u, w))
+    lab = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v in lab:
+            votes = defaultdict(int)
+            for u, w in nbrs[v]:
+                votes[lab[u]] += w
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replica(spark):
+    import random
+
+    from python_fastly_log_query_spark.operators.webgraph import (
+        label_propagation,
+    )
+
+    rng = random.Random(23)
+    hosts = [f"h{i:02d}" for i in range(24)]
+    uniq = {}
+    # three planted dense communities plus sparse cross links
+    for c in range(3):
+        block = hosts[c * 8:(c + 1) * 8]
+        for s in block:
+            for d in rng.sample(block, 4):
+                uniq[(s, d)] = rng.randint(3, 9)
+    for _ in range(6):
+        uniq[(rng.choice(hosts), rng.choice(hosts))] = 1
+    edges = [(s, d, w) for (s, d), w in uniq.items()]
+    got = {
+        r.host: r.label
+        for r in label_propagation(
+            spark.createDataFrame(edges, "src string, dst string, w long")
+        ).collect()
+    }
+    assert got == _py_lpa(edges)
+    # planted communities actually collapse: far fewer labels than hosts
+    assert len(set(got.values())) < len(got) // 2
+
+
+def test_label_propagation_isolated_pair_keeps_min_label(spark):
+    from python_fastly_log_query_spark.operators.webgraph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(
+        [("b.com", "a.com", 1)], "src string, dst string, w long"
+    )
+    # synchronous 2-cycle: each round the pair swap labels, so an odd
+    # round count leaves each node holding the OTHER node's name and an
+    # even count restores the identity — deterministic either way
+    got1 = {r.host: r.label for r in label_propagation(df, iterations=1).collect()}
+    assert got1 == {"a.com": "b.com", "b.com": "a.com"}
+    got2 = {r.host: r.label for r in label_propagation(df, iterations=2).collect()}
+    assert got2 == {"a.com": "a.com", "b.com": "b.com"}
