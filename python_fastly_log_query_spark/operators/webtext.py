@@ -460,3 +460,79 @@ def domain_scorecard(
         .cast("long")
         .alias("keep"),
     )
+
+
+# --------------------------------------------------- text normalization
+
+def _cls(*points) -> tuple[str, str]:
+    """A codepoint character class in ``\\x{hhhh}`` hex notation — the
+    escape BOTH Java regex and RE2 accept, keeping every pattern pure
+    ASCII (no control bytes in source, SQL text, or the py4j wire).
+    Entries are ints (single codepoint) or (lo, hi) range tuples."""
+    parts = []
+    for p in points:
+        if isinstance(p, tuple):
+            lo, hi = p
+            parts.append(f"\\x{{{lo:04x}}}-\\x{{{hi:04x}}}")
+        else:
+            parts.append(f"\\x{{{p:04x}}}")
+    pat = "[" + "".join(parts) + "]"
+    return pat, pat
+
+
+def _both(pat: str) -> tuple[str, str]:
+    return pat, pat
+
+
+#: (java_pattern, re2_pattern, replacement) chain applied IN ORDER — the
+#: unicode cleanup every released web corpus runs before tokenization
+#: (punctuation folding, zero-width/control stripping, whitespace
+#: canonicalization).  Patterns are literal chars + character classes +
+#: bounded quantifiers only — leftmost non-overlapping replacement with
+#: identical semantics in Java regex and RE2.
+NORMALIZE_RULES: list[tuple[str, str, str]] = [
+    (*_both(r"\r\n?"), "\n"),                                # CRLF / bare CR
+    (*_cls(0x200B, 0x200C, 0x200D, 0xFEFF), ""),             # zero-width+BOM
+    (*_cls(0x00A0, (0x2000, 0x200A), 0x202F, 0x3000), " "),  # unicode spaces
+    (*_cls(0x2018, 0x2019, 0x201A), "'"),                    # curly singles
+    (*_cls(0x201C, 0x201D, 0x201E), '"'),                    # curly doubles
+    (*_cls(0x2013, 0x2014, 0x2015), "-"),                    # en/em/horiz dash
+    (*_cls(0x2026), "..."),                                  # ellipsis
+    (*_cls((0x0000, 0x0008), 0x000B, 0x000C,
+           (0x000E, 0x001F), 0x007F), ""),                   # control chars
+    (*_both(r"[ \t]+"), " "),                                # space/tab runs
+    (*_both(r"[ ]?\n[ ]?"), "\n"),                           # spaces at \n
+    (*_both(r"\n\n\n+"), "\n\n"),                            # blank-line runs
+    (*_both(r"^[ \n]+"), ""),                                # leading trim
+    (*_both(r"[ \n]+$"), ""),                                # trailing trim
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical unicode/whitespace normalization of web text — the
+    deterministic subset of the ftfy/C4-style cleanup stage (reference
+    analog: the whitespace/format scrubbing in
+    ``/root/reference/src/parse/log_parser.py``'s field probes, promoted
+    to a corpus pass).  One chain of JVM ``regexp_replace`` Column
+    expressions: map-only, zero shuffle, whole-stage-codegen'd — at
+    10^12 docs this costs exactly one scan and is embarrassingly
+    parallel.  The rule chain is shared with :func:`normalize_text_sql`
+    so the normalized BYTES are oracle-pinned cross-engine."""
+    out = col
+    for java_pat, _re2, repl in NORMALIZE_RULES:
+        out = F.regexp_replace(out, java_pat, repl)
+    return out
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text` — same rule chain rendered
+    with RE2 ``\\x{...}`` escapes (ASCII-clean SQL text); DuckDB's
+    ``regexp_replace`` needs the explicit ``'g'`` flag to match Spark's
+    replace-all semantics."""
+    out = expr
+    for _java, re2_pat, repl in NORMALIZE_RULES:
+        p = re2_pat.replace("\\", "\\\\").replace("'", "''")
+        r = (repl.replace("\\", "\\\\").replace("'", "''")
+             .replace("\n", "' || chr(10) || '"))
+        out = f"regexp_replace({out}, E'{p}', '{r}', 'g')"
+    return out

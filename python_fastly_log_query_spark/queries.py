@@ -4748,6 +4748,61 @@ def q_host_communities(spark, sf):
     return label_propagation(edges, iterations=4)
 
 
+def _normalize_oracle() -> str:
+    from .operators.webtext import normalize_text_sql
+
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+         '  ' || chr(8220) || 'Doc' || chr(8221) || ' ' || chr(8212) || ' '
+         || text || chr(13) || chr(10) || chr(160) || ' tail' || chr(8230)
+         || chr(8203)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(9) || ' x  ' || repeat(chr(10), 4) || ' y ' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || chr(8216) || 'q' || chr(8217) || ' ' ELSE '' END
+         AS raw
+  FROM documents)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS orig_chars,
+       CAST(length({normalize_text_sql('raw')}) AS BIGINT) AS norm_chars,
+       md5({normalize_text_sql('raw')}) AS norm_md5
+FROM noisy
+"""
+
+
+@register("normalize_text_stats", _normalize_oracle())
+def q_normalize_text_stats(spark, sf):
+    """Unicode/whitespace text normalization
+    (operators/webtext.py:normalize_text) — the deterministic ftfy/C4-
+    style cleanup pass (curly quotes/dashes/ellipsis folded, zero-width
+    + control chars stripped, unicode spaces canonicalized, whitespace
+    collapsed and trimmed) applied to deterministically-noised pages so
+    the transform is exercised on every rule.  Map-only regexp chain in
+    whole-stage codegen (zero Python, zero shuffle); both engines build
+    the identical noisy bytes from doc_id and the oracle replays the
+    13-rule chain in RE2's shared dialect, pinning the normalized text
+    to its md5."""
+    from .operators.webtext import normalize_text
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("  “Doc” — "),
+        F.col("text"),
+        F.lit("\r\n\u00a0 tail\u2026\u200b"),
+        F.when(d % 2 == 0, F.lit("\t x  \n\n\n\n y ")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" ‘q’ ")).otherwise(F.lit("")),
+    )
+    norm = normalize_text(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("orig_chars"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_md5"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -249,3 +249,31 @@ def test_domain_scorecard_dup_is_corpus_wide(spark):
     }
     assert out["a.com"]["dup_ppm"] == 1_000_000
     assert out["b.com"]["dup_ppm"] == 500_000
+
+
+def test_normalize_text_rules_and_idempotency(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    noisy = (
+        "  \u201cIntro\u201d \u2014 body  text\r\n\u00a0tail\u2026\u200b"
+        "\r\rx\ty  \n\n\n\n\u2018q\u2019 end  "
+    )
+    expect = '"Intro" - body text\ntail...\n\nx y\n\n\'q\' end'
+    df = spark.createDataFrame([(noisy,)], "t string")
+    got = df.select(normalize_text(F.col("t")).alias("n")).first().n
+    # idempotent: a second pass is a no-op
+    got2 = df.select(
+        normalize_text(normalize_text(F.col("t"))).alias("n")
+    ).first().n
+    # DuckDB twin produces the identical bytes
+    import duckdb
+
+    ddb = duckdb.execute(
+        "SELECT " + normalize_text_sql("?"), [noisy]
+    ).fetchone()[0]
+    assert got == ddb
+    assert got2 == got
+    assert got == expect
