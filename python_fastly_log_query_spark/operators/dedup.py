@@ -875,3 +875,53 @@ def dedup_clusters(
     ).select(
         "doc_id", F.coalesce("component", F.col("rep_id")).alias("keeper")
     )
+
+
+def quality_int(text: F.Column) -> F.Column:
+    """Integer quality key for keeper selection: distinct-token count
+    (lexical diversity) dominates, document length breaks ties —
+    ``distinct_tokens * 10^6 + n_chars`` as one BIGINT.  Pure integer
+    arithmetic (no float weights), so comparisons are total,
+    associative, and bit-identical cross-engine."""
+    return (
+        F.size(F.array_distinct(F.split(text, " "))).cast("long") * 1000000
+        + F.length(text).cast("long")
+    )
+
+
+def dedup_keep_best(
+    docs: DataFrame, threshold: float = 0.5, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """:func:`dedup_clusters` with QUALITY-AWARE keeper selection — what
+    production pipelines actually do (keep the best-written copy of a
+    near-dup cluster, not the lowest id): within each cluster the doc
+    with the highest :func:`quality_int` wins, ties to the smallest
+    doc_id.  Output ``(doc_id, cluster, best_doc, keep)``.
+
+    Scale shape: the winner per cluster is ONE ``max(struct(q, -doc_id,
+    doc_id))`` aggregate — associative with map-side partials, so a
+    pathological million-member cluster combines in parallel instead of
+    serializing a ranking-window partition.  Costs one extra broadcast-
+    size shuffle (cluster count rows) over :func:`dedup_clusters`."""
+    clusters = dedup_clusters(docs, threshold, num_hashes, bands)
+    qual = docs.select("doc_id", quality_int(F.col("text")).alias("q"))
+    kq = clusters.join(qual, "doc_id")
+    best = (
+        kq.groupBy("keeper")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                    F.col("doc_id").alias("best_id"),
+                )
+            ).alias("m")
+        )
+        .select("keeper", F.col("m.best_id").alias("best_doc"))
+    )
+    return kq.join(best, "keeper").select(
+        "doc_id",
+        F.col("keeper").alias("cluster"),
+        "best_doc",
+        (F.col("doc_id") == F.col("best_doc")).cast("long").alias("keep"),
+    )

@@ -4803,6 +4803,45 @@ def q_normalize_text_stats(spark, sf):
     )
 
 
+_KEEP_BEST_ORACLE = (
+    _CLUSTERS_CTE
+    + """,
+qual AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+         + CAST(length(text) AS BIGINT) AS q
+  FROM documents),
+kq AS (SELECT k.doc_id, k.keeper, qual.q FROM keepers k JOIN qual USING (doc_id)),
+mx AS (SELECT keeper, max(q) AS mq FROM kq GROUP BY 1),
+best AS (
+  SELECT kq.keeper, min(kq.doc_id) AS best_doc
+  FROM kq JOIN mx ON kq.keeper = mx.keeper AND kq.q = mx.mq
+  GROUP BY 1)
+SELECT kq.doc_id, kq.keeper AS cluster, b.best_doc,
+       CAST(CASE WHEN kq.doc_id = b.best_doc THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM kq JOIN best b ON b.keeper = kq.keeper
+"""
+)
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware dedup keeper selection
+    (operators/dedup.py:dedup_keep_best): the dedup_clusters pipeline
+    with the KEEPER chosen by quality — highest distinct-token-count /
+    length integer key wins, ties to the smallest doc_id — instead of
+    min-id.  The per-cluster winner is one associative
+    max(struct(q, -doc_id, doc_id)) aggregate with map-side partials,
+    so a degenerate million-member cluster combines in parallel rather
+    than serializing a ranking window.  The oracle replays clustering
+    (recursive-CTE min-label fixpoint), the integer quality key, and
+    the max-then-min-id tie rule."""
+    from .operators.dedup import dedup_keep_best
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup_keep_best(docs, 0.5, _NH, _NB)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

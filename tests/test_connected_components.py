@@ -100,3 +100,30 @@ def test_dedup_clusters_transitivity(spark):
     got = {r["doc_id"]: r["keeper"] for r in dedup_clusters(docs, 0.5).collect()}
     assert got[0] == got[1] == got[2] == got[3] == 0
     assert got[4] == 4
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    from python_fastly_log_query_spark.operators.dedup import dedup_keep_best
+
+    # docs 0/1/2 are one near-dup cluster; doc 2 (highest id) has the
+    # richest text and must win; docs 10/11 tie on quality -> min id.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base + " one", "en", "s", 1),
+        (1, base + " one extra", "en", "s", 1),
+        (2, base + " one extra rich unique vocabulary", "en", "s", 1),
+        (10, "tie tokens here now", "en", "s", 1),
+        (11, "tie tokens here now", "en", "s", 1),
+        (20, "completely different standalone document text", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(docs, 0.5, 16, 4).collect()}
+    cluster_of_0 = out[0].cluster
+    assert out[1].cluster == cluster_of_0 and out[2].cluster == cluster_of_0
+    assert out[0].best_doc == 2 and out[2].keep == 1 and out[0].keep == 0
+    # exact-dup tie: min id wins
+    assert out[10].best_doc == 10 and out[11].keep == 0
+    # singleton keeps itself
+    assert out[20].best_doc == 20 and out[20].keep == 1
