@@ -1400,3 +1400,78 @@ def ivf_pq_topk(
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------- semantic decontam
+
+
+def semantic_decontam(
+    emb: DataFrame,
+    eval_mod: int = 53,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    eval_max_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-based train/eval decontamination — the SEMANTIC
+    counterpart of the 13-gram overlap pass (``decontamination_stats``):
+    a train document whose embedding is near-identical to an eval
+    document leaks the benchmark even when no n-gram matches
+    (paraphrases, translations, format shifts).
+
+    Eval membership is the deterministic slice ``id % eval_mod == 0``
+    (stand-in for the real eval-set id list).  For every TRAIN vector
+    returns ``(vec_id, near_eval_id, cosine, contaminated)`` — its
+    nearest eval vector by exact cosine, ties to the smallest eval id,
+    with ``contaminated = round(cosine, 4) >= threshold``.
+
+    Scale shape — the decontamination contract from the gram-based
+    pass, kept: the eval set is a DIMENSION (thousands of vectors next
+    to 10^12 train rows), so it is gathered once (``eval_max_rows``
+    guard raises past the cap), shipped as ONE broadcast, and the train
+    corpus is scanned MAP-ONLY: each Arrow batch does E strict
+    left-fold column passes (:func:`_dot_left` association, bit-exact
+    to the f64 oracle) + one row-wise argmax; the corpus never
+    shuffles and nothing doc-sized hits the driver."""
+    import numpy as np
+    import pandas as pd
+
+    ev = emb.filter(F.col(id_col) % eval_mod == 0)
+    n_eval = ev.count()
+    if n_eval > eval_max_rows:
+        raise ValueError(
+            f"eval side has {n_eval} rows > eval_max_rows={eval_max_rows} "
+            "driver-gather cap; pass a pre-reduced eval set"
+        )
+    b = _emb_broadcast(ev, id_col)
+    train = with_norm(emb.filter(F.col(id_col) % eval_mod != 0))
+
+    def _iter(batches):
+        eids, emat, enorms = b.value
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = pdf["_norm"].to_numpy(np.float64)
+            m = len(pdf)
+            cos = np.empty((m, len(eids)), dtype=np.float64)
+            for j in range(len(eids)):
+                ej = np.broadcast_to(emat[j], mat.shape)
+                cos[:, j] = _dot_left(mat, ej) / (norms * enorms[j])
+            best = cos.argmax(axis=1)  # first occurrence = smallest eval id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "near_eval_id": eids[best],
+                    "c": cos[np.arange(m), best],
+                }
+            )
+
+    scored = train.select(id_col, "embedding", "_norm").mapInPandas(
+        _iter, schema=f"{id_col} long, near_eval_id long, c double"
+    )
+    return scored.select(
+        id_col,
+        "near_eval_id",
+        round_half_away("c", 4).alias("cosine"),
+        (round_half_away("c", 4) >= F.lit(threshold)).cast("long").alias(
+            "contaminated"
+        ),
+    )

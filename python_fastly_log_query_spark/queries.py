@@ -4842,6 +4842,44 @@ def q_dedup_keep_best(spark, sf):
     return dedup_keep_best(docs, 0.5, _NH, _NB)
 
 
+_SEM_DECON_ORACLE = """
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, e AS ee FROM ed WHERE vec_id % 53 = 0),
+tr AS (SELECT vec_id, e FROM ed WHERE vec_id % 53 <> 0),
+sims AS (
+  SELECT tr.vec_id, ev.eval_id,
+         list_dot_product(e, ee)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ee, ee))) AS c
+  FROM tr, ev),
+best AS (
+  SELECT vec_id, eval_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eval_id) AS rn
+  FROM sims)
+SELECT vec_id, eval_id AS near_eval_id, round(c, 4) AS cosine,
+       CAST(CASE WHEN round(c, 4) >= 0.4 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@register("semantic_decontamination", _SEM_DECON_ORACLE)
+def q_semantic_decontamination(spark, sf):
+    """Embedding-based train/eval decontamination
+    (operators/similarity.py:semantic_decontam) — the semantic
+    counterpart of the 13-gram `decontamination_stats` pass: every
+    TRAIN vector's nearest EVAL vector by exact cosine (eval = the
+    deterministic id % 53 slice), flagged when round(cosine,4) >= the threshold (0.4 here — sized to this synthetic corpus's similarity range so the flag path is exercised; a production eval-leak cut sits near 0.9).
+    The eval set is a broadcast dimension; the train corpus is scanned
+    map-only (E strict left-fold column passes per Arrow batch + one
+    row-wise argmax) — zero corpus shuffles, bit-exact to the f64
+    oracle by the _dot_left association."""
+    from .operators.similarity import semantic_decontam
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semantic_decontam(emb, eval_mod=53, threshold=0.4)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

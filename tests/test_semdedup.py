@@ -88,3 +88,37 @@ def test_dot_left_is_exact_left_assoc_fold():
         for j in range(64):
             acc += a[i, j] * b[i, j]
         assert got[i] == acc  # bitwise, no tolerance
+
+
+def test_semantic_decontam_flags_planted_leak(spark):
+    import pytest
+
+    from python_fastly_log_query_spark.operators.similarity import (
+        semantic_decontam,
+    )
+
+    # eval vector is id 0 (0 % 7 == 0); train id 8 is a near-copy of it,
+    # train id 9 is orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (7, [0.0, 1.0, 0.0, 0.0]),
+        (8, [0.999, 0.01, 0.0, 0.0]),
+        (9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_decontam(emb, eval_mod=7, threshold=0.95).collect()}
+    assert set(out) == {8, 9}  # eval rows excluded from output
+    assert out[8].contaminated == 1 and out[8].near_eval_id == 0
+    assert out[9].contaminated == 0
+    # ties go to the smallest eval id: vector equidistant from evals 0 and 7
+    rows2 = [
+        (0, [1.0, 0.0]),
+        (7, [0.0, 1.0]),
+        (1, [1.0, 1.0]),
+    ]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    got = semantic_decontam(emb2, eval_mod=7, threshold=0.95).collect()[0]
+    assert got.near_eval_id == 0
+    # driver-gather guard raises past the cap
+    with pytest.raises(ValueError, match="eval_max_rows"):
+        semantic_decontam(emb, eval_mod=7, eval_max_rows=1).collect()
