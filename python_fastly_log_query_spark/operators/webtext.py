@@ -536,3 +536,67 @@ def normalize_text_sql(expr: str) -> str:
              .replace("\n", "' || chr(10) || '"))
         out = f"regexp_replace({out}, E'{p}', '{r}', 'g')"
     return out
+
+
+# --------------------------------------------------------- URL filtering
+
+#: path substrings that mark a page as non-training content (stand-in
+#: for the UT1/production blocklists a real crawl ships)
+BLOCKED_PATH_TOKENS = ("casino", "lottery", "sweepstake")
+
+#: extensions that are assets/feeds, not prose pages
+NON_CONTENT_EXT_RE = r"\.(xml|rss|css|js|jpe?g|png|gif|ico|svg|zip|exe|woff2?)$"
+
+_BLOCKED_RE = "(" + "|".join(BLOCKED_PATH_TOKENS) + ")"
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    max_len: int = 200,
+    max_params: int = 8,
+) -> DataFrame:
+    """URL-level page filter — the FIRST quality gate a crawl pipeline
+    runs (RefinedWeb/C4 shape: cheap URL rules drop whole pages before
+    any content is fetched or parsed).  Adds a ``verdict`` column with
+    first-match-wins precedence: ``blocked_token`` (path contains a
+    blocklist token), ``non_content_ext`` (asset/feed extension),
+    ``too_long`` (URL length > ``max_len``), ``too_many_params``
+    (query parameter count > ``max_params``), else ``keep``.
+
+    Map-only pure-Column when-chain over regexp-extracted URL parts —
+    zero shuffle, whole-stage codegen, embarrassingly parallel at
+    10^12 rows; the rule expressions are the shared Java/RE2 dialect so
+    :func:`url_filter_sql` replays the verdicts bit-identically."""
+    u = F.col(url_col)
+    path = F.lower(F.regexp_extract(u, _URL_RE, 3))
+    query = F.regexp_extract(u, _URL_RE, 4)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query.substr(F.lit(2), F.length(query)), "&"))
+    )
+    verdict = (
+        F.when(path.rlike(_BLOCKED_RE), "blocked_token")
+        .when(path.rlike(NON_CONTENT_EXT_RE), "non_content_ext")
+        .when(F.length(u) > max_len, "too_long")
+        .when(n_params > max_params, "too_many_params")
+        .otherwise("keep")
+    )
+    return df.withColumn("verdict", verdict)
+
+
+def url_filter_sql(expr: str, max_len: int = 200, max_params: int = 8) -> str:
+    """DuckDB twin of :func:`url_filter`'s verdict expression."""
+    pat = _URL_RE.replace("'", "''")
+    path = f"lower(regexp_extract({expr}, '{pat}', 3))"
+    query = f"regexp_extract({expr}, '{pat}', 4)"
+    n_params = (
+        f"CASE WHEN {query} = '' THEN 0 "
+        f"ELSE len(string_split(substring({query}, 2), '&')) END"
+    )
+    return f"""CASE
+  WHEN regexp_matches({path}, '{_BLOCKED_RE}') THEN 'blocked_token'
+  WHEN regexp_matches({path}, '{NON_CONTENT_EXT_RE.replace("'", "''")}')
+    THEN 'non_content_ext'
+  WHEN length({expr}) > {max_len} THEN 'too_long'
+  WHEN {n_params} > {max_params} THEN 'too_many_params'
+  ELSE 'keep' END"""

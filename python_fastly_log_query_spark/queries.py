@@ -4880,6 +4880,63 @@ def q_semantic_decontamination(spark, sf):
     return semantic_decontam(emb, eval_mod=53, threshold=0.4)
 
 
+def _url_filter_oracle() -> str:
+    from .operators.webtext import url_filter_sql
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+         || CASE doc_id % 9
+              WHEN 0 THEN '/casino/bonus-' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/static/app.js'
+              WHEN 2 THEN '/feed.rss'
+              WHEN 3 THEN '/p/' || repeat('abcde', 50)
+              WHEN 5 THEN '/casino/' || repeat('x', 300)
+              ELSE '/article/' || CAST(doc_id AS VARCHAR) END
+         || CASE WHEN doc_id % 9 = 4
+                 THEN '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9'
+                 ELSE '?id=' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents)
+SELECT doc_id, {url_filter_sql('url')} AS verdict FROM u
+"""
+
+
+@register("url_filter_verdicts", _url_filter_oracle())
+def q_url_filter_verdicts(spark, sf):
+    """URL-level page filtering (operators/webtext.py:url_filter) — the
+    cheapest quality gate a crawl runs, BEFORE fetch/parse: blocklist
+    path tokens, asset/feed extensions, oversized URLs, and
+    parameter-bombed queries each get a typed verdict with first-match
+    precedence (the doc_id%9==5 case plants a URL matching BOTH
+    blocked_token and too_long to pin the precedence).  Map-only pure-
+    Column when-chain over regexp-extracted URL parts in the shared
+    Java/RE2 dialect; the oracle replays every verdict."""
+    from .operators.webtext import url_filter
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    m = d % 9
+    ds = d.cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/casino/bonus-"), ds))
+        .when(m == 1, F.lit("/static/app.js"))
+        .when(m == 2, F.lit("/feed.rss"))
+        .when(m == 3, F.concat(F.lit("/p/"), F.repeat(F.lit("abcde"), 50)))
+        .when(m == 5, F.concat(F.lit("/casino/"), F.repeat(F.lit("x"), 300)))
+        .otherwise(F.concat(F.lit("/article/"), ds))
+    )
+    qs = F.when(
+        m == 4, F.lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")
+    ).otherwise(F.concat(F.lit("?id="), ds))
+    url = F.concat(
+        F.lit("https://site"), (d % 20).cast("string"), F.lit(".com"), path, qs
+    )
+    return url_filter(docs.select("doc_id", url.alias("url")), "url").select(
+        "doc_id", "verdict"
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -277,3 +277,23 @@ def test_normalize_text_rules_and_idempotency(spark):
     assert got == ddb
     assert got2 == got
     assert got == expect
+
+
+def test_url_filter_verdicts_and_precedence(spark):
+    from python_fastly_log_query_spark.operators.webtext import url_filter
+
+    cases = [
+        ("https://a.com/casino/x?id=1", "blocked_token"),
+        ("https://a.com/static/app.js", "non_content_ext"),
+        ("https://a.com/feed.rss?x=1", "non_content_ext"),
+        ("https://a.com/" + "p" * 300, "too_long"),
+        ("https://a.com/p?" + "&".join(f"k{i}=1" for i in range(9)), "too_many_params"),
+        ("https://a.com/article/1?id=2", "keep"),
+        ("https://a.com/p", "keep"),  # no query at all
+        # precedence: blocked token beats too_long and bad ext
+        ("https://a.com/casino/" + "x" * 300 + ".js", "blocked_token"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.verdict for r in url_filter(df).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
