@@ -1458,3 +1458,56 @@ def shard_plan_stats(planned: DataFrame) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------- inverted index
+
+
+def inverted_index(
+    docs: DataFrame,
+    k: int = 5,
+    salt_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capped inverted index: per term, document frequency plus the
+    top-``k`` postings by ``(tf DESC, doc_id ASC)`` — the materialized
+    retrieval structure behind :func:`bm25_topk` (which scores one
+    query map-only; THIS is what you build when queries are not known
+    in advance).
+
+    Skew: the per-term top-k is where a naive plan dies at corpus
+    scale — a ranking window partitioned by ``term`` puts every posting
+    of a stopword (df ≈ corpus size) into ONE task.  Here the top-k
+    runs TWO-PHASE (the ``operators/skew.py`` discipline): postings are
+    salted by ``xxhash64(doc_id) % salt_buckets``, phase 1 ranks inside
+    ``(term, salt)`` and keeps k per bucket, phase 2 ranks the
+    ≤ ``salt_buckets × k`` survivors per term — bit-identical to the
+    plain window (per-posting sort keys are complete before salting,
+    so the global top-k is a subset of the union of bucket top-ks; the
+    equality is pinned by test + the registered oracle), with the
+    hottest term bounded at ``max(df/salt_buckets, salt_buckets·k)``
+    rows per task.  The tf build itself is one map-side-combined
+    groupBy on ``(term, doc)`` — row skew is absorbed there."""
+    words = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        words.groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    salted = tf.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("term", "_salt").orderBy(
+        F.desc("tf"), F.asc(id_col)
+    )
+    cand = salted.withColumn("_r", F.row_number().over(w1)).filter(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc(id_col))
+    top = cand.withColumn(
+        "rnk", F.row_number().over(w2).cast("long")
+    ).filter(F.col("rnk") <= k)
+    return top.join(dfreq, "term").select("term", "df", id_col, "tf", "rnk")

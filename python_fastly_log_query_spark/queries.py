@@ -4937,6 +4937,36 @@ def q_url_filter_verdicts(spark, sf):
     )
 
 
+_INV_INDEX_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM w WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+r AS (SELECT term, doc_id, tf,
+             CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM tf)
+SELECT r.term, dfq.df, r.doc_id, r.tf, r.rnk
+FROM r JOIN dfq USING (term) WHERE rnk <= 3
+"""
+
+
+@register("inverted_index_topk", _INV_INDEX_ORACLE)
+def q_inverted_index_topk(spark, sf):
+    """Capped inverted index (operators/corpus.py:inverted_index, k=3):
+    per term, document frequency + the top-3 postings by (tf DESC,
+    doc_id) — the materialized retrieval structure BM25 scores against
+    when queries aren't known in advance.  The per-term top-k runs
+    two-phase over a doc-hash salt so a stopword's corpus-sized
+    posting list never lands in one window task; the result is
+    bit-identical to the plain window, which is exactly what the
+    oracle computes."""
+    from .operators.corpus import inverted_index
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return inverted_index(docs, k=3, salt_buckets=8)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

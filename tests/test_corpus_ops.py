@@ -879,3 +879,41 @@ def test_shard_plan_window_is_range_partitioned(spark):
         assert head.split(",")[0].startswith("rid#"), s
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_two_phase_equals_plain_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from python_fastly_log_query_spark.operators.corpus import inverted_index
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for d in range(60):
+        # 'hot' appears in every doc (the stopword case)
+        words = ["hot"] * rng.randint(1, 5) + rng.choices(vocab, k=rng.randint(3, 10))
+        rows.append((d, " ".join(words), "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = sorted(
+        tuple(r) for r in inverted_index(docs, k=4, salt_buckets=4).collect()
+    )
+    # plain single-window reference
+    words = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    tf = words.groupBy("term", "doc_id").count().withColumnRenamed("count", "tf")
+    dfreq = tf.groupBy("term").count().withColumnRenamed("count", "df")
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ref = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .join(dfreq, "term")
+        .selectExpr("term", "CAST(df AS LONG) df", "doc_id",
+                    "CAST(tf AS LONG) tf", "CAST(rnk AS LONG) rnk")
+    )
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
+    # the hot term's postings are present and capped at k
+    hot = [r for r in got if r[0] == "hot"]
+    assert len(hot) == 4 and all(r[1] == 60 for r in hot)
