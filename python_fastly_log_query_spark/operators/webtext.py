@@ -32,7 +32,7 @@ Every regex used here is valid and means the same thing in Java
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ URLs
@@ -600,3 +600,98 @@ def url_filter_sql(expr: str, max_len: int = 200, max_params: int = 8) -> str:
   WHEN length({expr}) > {max_len} THEN 'too_long'
   WHEN {n_params} > {max_params} THEN 'too_many_params'
   ELSE 'keep' END"""
+
+
+# ------------------------------------------------------------- robots.txt
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-host robots.txt into the ``User-agent: *`` rule set —
+    ``(host, prefix, allow, rule_len)``.  The robots file is the one
+    crawl input that is genuinely STATEFUL line-by-line (a rule's
+    meaning depends on the user-agent block above it); expressed
+    relationally: explode lines with positions, mark block starts
+    (a ``User-agent`` line whose predecessor is not one — stacked UA
+    lines share a block), running-sum the markers into group ids, and
+    keep Allow/Disallow lines of groups whose UA set contains ``*``.
+    Empty-value ``Disallow:`` (allow-all) drops out naturally.
+
+    Scale: every window partitions by HOST over one robots FILE's
+    lines (kilobytes by protocol), never by corpus rows; the output is
+    a broadcast-sized dimension for :func:`robots_check`."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.col("line")).alias("line"),
+    )
+    d = F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1)))
+    v = F.trim(F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:(.*)$", 1))
+    parsed = lines.select(
+        "host", "pos", d.alias("directive"), v.alias("value")
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w)
+    block_start = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    grouped = parsed.withColumn(
+        "grp", F.sum(block_start).over(w)
+    )
+    star_groups = (
+        grouped.filter(
+            (F.col("directive") == "user-agent") & (F.col("value") == "*")
+        )
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.join(star_groups, ["host", "grp"])
+        .filter(F.col("directive").isin("allow", "disallow") & (F.col("value") != ""))
+        .select(
+            "host",
+            F.col("value").alias("prefix"),
+            (F.col("directive") == "allow").cast("long").alias("allow"),
+            F.length("value").cast("long").alias("rule_len"),
+        )
+    )
+
+
+def robots_check(
+    pages: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-page robots verdict against :func:`robots_rules` output —
+    adds ``allowed`` (1/0): the LONGEST matching rule prefix wins,
+    ties go to Allow (the Google-documented precedence), no matching
+    rule means allowed.
+
+    Plan: rules are a BROADCAST dimension (robots files are per-host
+    kilobytes), so the page table joins host-equi + prefix filter
+    without shuffling; the winner per page is one associative
+    ``max(struct(rule_len, allow))`` aggregate over each page's
+    handful of matched rules."""
+    j = pages.join(
+        F.broadcast(rules.withColumnRenamed("host", "_rh")),
+        (F.col(host_col) == F.col("_rh"))
+        & F.col(path_col).startswith(F.col("prefix")),
+        "left",
+    )
+    keys = [F.col(c) for c in pages.columns]
+    win = F.max(
+        F.struct(F.col("rule_len"), F.col("allow"))
+    ).alias("_w")
+    return (
+        j.groupBy(*keys)
+        .agg(win)
+        .select(
+            *pages.columns,
+            F.coalesce(F.col("_w.allow"), F.lit(1)).cast("long").alias("allowed"),
+        )
+    )

@@ -4967,6 +4967,121 @@ def q_inverted_index_topk(spark, sf):
     return inverted_index(docs, k=3, salt_buckets=8)
 
 
+# Four robots.txt shapes covering the parse cases: star block with
+# allow-override, stacked user-agent lines sharing a block, a bot-only
+# file (no star rules at all), and an empty Disallow (allow-all).
+_ROBOTS_TEXTS = [
+    "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp",
+    "User-agent: evilbot\nUser-agent: *\nDisallow: /x\n\nUser-agent: other\nDisallow: /y",
+    "User-agent: bot\nDisallow: /z",
+    "User-agent: *\nDisallow:",
+]
+
+_ROBOTS_PATHS_SQL = """CASE doc_id % 6
+  WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+  WHEN 3 THEN '/x/' || CAST(doc_id AS VARCHAR)
+  WHEN 4 THEN '/y/' || CAST(doc_id AS VARCHAR)
+  ELSE '/public/' || CAST(doc_id AS VARCHAR) END"""
+
+
+def _robots_oracle() -> str:
+    texts_sql = " ".join(
+        f"WHEN {i} THEN {_sqlstr_lines(t)}" for i, t in enumerate(_ROBOTS_TEXTS)
+    )
+    return f"""
+WITH rb AS (
+  SELECT 'h' || CAST(k AS VARCHAR) AS host,
+         CASE k % 4 {texts_sql} END AS txt
+  FROM range(8) t(k)),
+ls AS (SELECT host, string_split(txt, chr(10)) AS la FROM rb),
+l AS (SELECT host, unnest(range(0, len(la))) AS pos, unnest(la) AS line FROM ls),
+p AS (
+  SELECT host, pos,
+         lower(trim(regexp_extract(trim(line), '^([A-Za-z-]+)\\s*:', 1))) AS directive,
+         trim(regexp_extract(trim(line), '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM l),
+pf AS (SELECT * FROM p WHERE directive IN ('user-agent', 'allow', 'disallow')),
+m AS (
+  SELECT host, pos, directive, value,
+         CASE WHEN directive = 'user-agent'
+              AND coalesce(lag(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY host ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS bs
+  FROM pf),
+g AS (SELECT *, SUM(bs) OVER (PARTITION BY host ORDER BY pos) AS grp FROM m),
+star AS (SELECT DISTINCT host, grp FROM g
+         WHERE directive = 'user-agent' AND value = '*'),
+rules AS (
+  SELECT g.host, g.value AS prefix,
+         CAST(CASE WHEN g.directive = 'allow' THEN 1 ELSE 0 END AS BIGINT) AS allow,
+         CAST(length(g.value) AS BIGINT) AS rule_len
+  FROM g JOIN star USING (host, grp)
+  WHERE g.directive IN ('allow', 'disallow') AND g.value <> ''),
+pages AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+         {_ROBOTS_PATHS_SQL} AS path
+  FROM documents),
+matched AS (
+  SELECT p.doc_id, r.allow,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY r.rule_len DESC, r.allow DESC) AS rn
+  FROM pages p JOIN rules r
+    ON r.host = p.host AND starts_with(p.path, r.prefix))
+SELECT p.doc_id, p.host, p.path,
+       CAST(coalesce(m.allow, 1) AS BIGINT) AS allowed
+FROM pages p LEFT JOIN (SELECT doc_id, allow FROM matched WHERE rn = 1) m
+  USING (doc_id)
+"""
+
+
+def _sqlstr_lines(t: str) -> str:
+    parts = t.split("\n")
+    return " || chr(10) || ".join("'" + p.replace("'", "''") + "'" for p in parts)
+
+
+@register("robots_verdicts", _robots_oracle())
+def q_robots_verdicts(spark, sf):
+    """robots.txt parse + per-page permission check
+    (operators/webtext.py:robots_rules/robots_check) — the crawl's
+    compliance gate.  Parsing is the one genuinely STATEFUL line format
+    in the stack (a rule belongs to the user-agent block above it),
+    expressed relationally: posexplode lines, lag-marked block starts,
+    running-sum group ids, keep Allow/Disallow of groups whose UA set
+    contains '*' — every window partitions by HOST over one robots
+    FILE's lines (kilobytes by protocol).  The check itself broadcasts
+    the rule dimension and resolves longest-prefix-wins / ties-to-Allow
+    via one associative max(struct) per page.  The four planted robots
+    shapes cover allow-override, stacked UA lines, bot-only files, and
+    the empty-Disallow allow-all; the oracle replays parse, grouping,
+    and precedence end to end."""
+    from .operators.webtext import robots_check, robots_rules
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    robots = spark.createDataFrame(
+        [(f"h{k}", _ROBOTS_TEXTS[k % 4]) for k in range(8)],
+        "host string, robots_txt string",
+    )
+    d = F.col("doc_id")
+    m = d % 6
+    ds = d.cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/private/doc"), ds))
+        .when(m == 1, F.concat(F.lit("/private/ok/"), ds))
+        .when(m == 2, F.concat(F.lit("/tmp/"), ds))
+        .when(m == 3, F.concat(F.lit("/x/"), ds))
+        .when(m == 4, F.concat(F.lit("/y/"), ds))
+        .otherwise(F.concat(F.lit("/public/"), ds))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 8).cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    return robots_check(pages, robots_rules(robots))
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

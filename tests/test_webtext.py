@@ -297,3 +297,44 @@ def test_url_filter_verdicts_and_precedence(spark):
     got = {r.url: r.verdict for r in url_filter(df).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_robots_rules_and_check(spark):
+    from python_fastly_log_query_spark.operators.webtext import (
+        robots_check,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+                      "Disallow: /tmp\n\nUser-agent: evilbot\nDisallow: /"),
+            # stacked UA lines share one block; later non-star block ignored
+            ("b.com", "User-agent: evilbot\nUser-agent: *\nDisallow: /x\n\n"
+                      "User-agent: other\nDisallow: /y"),
+            ("c.com", "User-agent: bot\nDisallow: /z"),   # no star rules
+            ("d.com", "User-agent: *\nDisallow:"),        # allow-all
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {(r.host, r.prefix): r.allow for r in robots_rules(robots).collect()}
+    assert rules == {
+        ("a.com", "/private"): 0,
+        ("a.com", "/private/ok"): 1,
+        ("a.com", "/tmp"): 0,
+        ("b.com", "/x"): 0,
+    }
+    pages = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/doc"),   # blocked
+            (2, "a.com", "/private/ok/doc"),  # longest prefix allows
+            (3, "a.com", "/pub"),           # no rule -> allowed
+            (5, "b.com", "/x/1"),           # star rule from stacked block
+            (6, "b.com", "/y/1"),           # other-bot rule ignored
+            (7, "c.com", "/z"),             # bot-only file -> allowed
+            (8, "d.com", "/q"),             # empty Disallow -> allowed
+        ],
+        "page_id long, host string, path string",
+    )
+    got = {r.page_id: r.allowed for r in robots_check(pages, robots_rules(robots)).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 5: 0, 6: 1, 7: 1, 8: 1}
