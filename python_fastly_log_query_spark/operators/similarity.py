@@ -1475,3 +1475,58 @@ def semantic_decontam(
             "contaminated"
         ),
     )
+
+
+# ------------------------------------------------- graph-expansion ANN
+
+
+def graph_expand_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_seeds: int = 5,
+    n_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    graph_k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Graph-expansion ANN search (the DiskANN/HNSW idea in one
+    deterministic round): SEED with :func:`ivf_learned_topk`'s
+    ``n_seeds`` best vectors from the probed cells, EXPAND the seed set
+    through the :func:`knn_graph_learned` adjacency (each seed
+    contributes its ``graph_k`` graph neighbors — which can live in
+    cells the query never probed, the exact recall IVF pruning gives
+    up), then rank seeds ∪ neighbors by exact cosine and keep top-k.
+
+    Scale shape: the expansion join keys on the SEED id — ``n_seeds``
+    rows against the (N·graph_k)-row graph table, a broadcast-able
+    probe side; the final ranking touches ≤ ``n_seeds·(graph_k+1)``
+    candidate vectors.  With the graph and cell assignment
+    pre-materialized (their build cost is the index build, amortized
+    over every query), a query costs one pruned cell scan + one
+    dimension join — no corpus shuffle.  Exact cosine uses the same
+    left-associated :func:`dot` fold as the brute oracle, so results
+    are bit-exact cross-engine."""
+    seeds = ivf_learned_topk(
+        emb, query_vec_id, n_seeds, n_cells=n_cells, iters=iters,
+        nprobe=nprobe, id_col=id_col,
+    ).select(id_col)
+    graph = knn_graph_learned(
+        emb, k=graph_k, n_cells=n_cells, iters=iters, nprobe=nprobe,
+        id_col=id_col,
+    )
+    nbrs = graph.join(seeds, id_col).select(F.col("nbr_id").alias(id_col))
+    cand = seeds.union(nbrs).distinct()
+    base = with_norm(emb).join(cand, id_col)
+    q = with_norm(emb.filter(F.col(id_col) == query_vec_id)).select(
+        F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
+    )
+    c = dot(F.col("embedding"), F.col("qe")) / (F.col("_norm") * F.col("_qn"))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select(id_col, c.alias("c"))
+        .orderBy(F.desc("c"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, round_half_away("c", 4).alias("cosine"))
+    )

@@ -5082,6 +5082,87 @@ def q_robots_verdicts(spark, sf):
     return robots_check(pages, robots_rules(robots))
 
 
+def _graph_expand_oracle() -> str:
+    from .operators.similarity import kmeans_sql_parts
+
+    ctes, final = kmeans_sql_parts(k=8, iters=3)
+    dq = (
+        "CAST(list_dot_product(c3.cv, c3.cv)"
+        " - 2 * list_dot_product(c3.cv, qq.qv)"
+        " + list_dot_product(qq.qv, qq.qv) AS BIGINT)"
+    )
+    dv = (
+        "CAST(list_dot_product(c3.cv, c3.cv)"
+        " - 2 * list_dot_product(c3.cv, q.qv)"
+        " + list_dot_product(q.qv, q.qv) AS BIGINT)"
+    )
+    return f"""
+WITH {ctes},
+asg AS ({final}),
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       FROM embeddings),
+base AS (SELECT vec_id, embedding,
+                sqrt(list_dot_product(embedding, embedding)) AS nrm
+         FROM ed),
+qe AS (SELECT embedding AS q_e, nrm AS qn FROM base WHERE vec_id = 0),
+qq AS (SELECT qv FROM q WHERE vec_id = 0),
+qprobe AS (SELECT c3.cell FROM c3 CROSS JOIN qq
+           ORDER BY {dq} ASC, c3.cell ASC LIMIT 2),
+seeds AS (SELECT b.vec_id
+          FROM base b JOIN asg USING (vec_id) CROSS JOIN qe
+          WHERE asg.cell IN (SELECT cell FROM qprobe)
+          ORDER BY list_dot_product(b.embedding, q_e) / (b.nrm * qn) DESC,
+                   b.vec_id ASC
+          LIMIT 5),
+vprobe AS (SELECT vec_id AS va, cell FROM (
+             SELECT q.vec_id, c3.cell,
+                    row_number() OVER (PARTITION BY q.vec_id
+                                       ORDER BY {dv} ASC, c3.cell ASC) AS rn
+             FROM q CROSS JOIN c3)
+           WHERE rn <= 2),
+gcand AS (SELECT p.va AS vec_a, h.vec_id AS vec_b
+          FROM vprobe p JOIN asg h ON h.cell = p.cell AND h.vec_id <> p.va),
+gcs AS (SELECT vec_a, vec_b,
+               list_dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm) AS c
+        FROM gcand JOIN base a ON a.vec_id = vec_a
+                   JOIN base b ON b.vec_id = vec_b),
+graph AS (SELECT vec_a, vec_b FROM (
+            SELECT vec_a, vec_b,
+                   row_number() OVER (PARTITION BY vec_a
+                                      ORDER BY c DESC, vec_b ASC) AS rank
+            FROM gcs)
+          WHERE rank <= 3),
+nbrs AS (SELECT g.vec_b AS vec_id FROM graph g JOIN seeds s ON s.vec_id = g.vec_a),
+cand AS (SELECT DISTINCT vec_id FROM (
+           SELECT vec_id FROM seeds UNION ALL SELECT vec_id FROM nbrs))
+SELECT b.vec_id,
+       round(list_dot_product(b.embedding, q_e) / (b.nrm * qn), 4) AS cosine
+FROM base b JOIN cand USING (vec_id) CROSS JOIN qe
+ORDER BY list_dot_product(b.embedding, q_e) / (b.nrm * qn) DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_graph_expand_topk", _graph_expand_oracle())
+def q_embedding_graph_expand_topk(spark, sf):
+    """Graph-expansion ANN top-10
+    (operators/similarity.py:graph_expand_topk) — the DiskANN/HNSW idea
+    in one deterministic round: 5 IVF-probed seeds expand through the
+    trained k-NN graph (each seed's 3 graph neighbors, which may live
+    in cells the query never probed — the recall IVF pruning gives up),
+    then exact-cosine rank of seeds ∪ neighbors.  A query costs one
+    pruned cell scan plus one seed-keyed dimension join against the
+    pre-built graph — no corpus shuffle.  The oracle unrolls quantizer
+    training, query probe, seed rank, per-vector probe, graph build,
+    expansion, and the final rank as one statement."""
+    from .operators.similarity import graph_expand_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return graph_expand_topk(
+        emb, 0, k=10, n_seeds=5, n_cells=8, iters=3, nprobe=2, graph_k=3
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -72,3 +72,27 @@ def test_probe_pruning_matches_python_replica(spark):
     assert not set(got) & {
         j for j, (_, c) in enumerate(exp_assign) if c not in probe
     }
+
+
+def test_graph_expand_recall_at_least_ivf(spark):
+    from conftest import SF_SMALL
+
+    from python_fastly_log_query_spark.operators.similarity import (
+        graph_expand_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    truth = {r.vec_id for r in brute_topk(emb, 0, 10).collect()}
+    ivf = {r.vec_id for r in ivf_learned_topk(emb, 0, 10, n_cells=8, iters=3, nprobe=2).collect()}
+    gx = {
+        r.vec_id
+        for r in graph_expand_topk(
+            emb, 0, k=10, n_seeds=5, n_cells=8, iters=3, nprobe=2, graph_k=3
+        ).collect()
+    }
+    r_ivf = len(ivf & truth) / 10
+    r_gx = len(gx & truth) / 10
+    # expansion can only add candidates the seed rank then re-cuts; demand
+    # a floor and no catastrophic loss vs plain IVF
+    assert r_gx >= 0.5
+    assert r_gx >= r_ivf - 0.2
