@@ -1511,3 +1511,55 @@ def inverted_index(
         "rnk", F.row_number().over(w2).cast("long")
     ).filter(F.col("rnk") <= k)
     return top.join(dfreq, "term").select("term", "df", id_col, "tf", "rnk")
+
+
+# ------------------------------------------------------- doc chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-window document chunking WITH OVERLAP — the
+    splitter a retrieval/embedding pipeline runs (one doc → many
+    context-window pieces that share ``overlap`` boundary tokens), the
+    dual of :func:`pack_sequences` (which concatenates; this splits).
+
+    Chunks start every ``stride = chunk_tokens - overlap`` tokens;
+    ``n_chunks = max(1, ceil((n - overlap) / stride))`` computed in
+    integer arithmetic, so a final all-overlap chunk never appears and
+    an empty-ish doc still yields one chunk.  Returns one row per chunk
+    ``(doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_md5)`` with
+    the chunk's exact text md5-pinned.
+
+    Map-only: split, an integer chunk-count expression, one
+    ``explode(sequence(...))`` and a slice — no shuffle, no Python; a
+    doc's chunk fan-out is bounded by its own length, so the pass is
+    embarrassingly parallel at 10^12 docs."""
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    nc = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("long"),
+    )
+    rows = docs.select(
+        id_col,
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), nc - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    piece = F.slice(F.col("_toks"), (start + 1).cast("int"), chunk_tokens)
+    return rows.select(
+        id_col,
+        "chunk_id",
+        start.alias("start_tok"),
+        F.least(F.lit(chunk_tokens).cast("long"), F.col("_n") - start).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(F.encode(F.array_join(piece, " "), "UTF-8")).alias("chunk_md5"),
+    )

@@ -5163,6 +5163,38 @@ def q_embedding_graph_expand_topk(spark, sf):
     )
 
 
+_CHUNKS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS la FROM documents),
+nn AS (SELECT doc_id, la, CAST(len(la) AS BIGINT) AS n FROM t),
+cc AS (SELECT doc_id, la, n,
+              greatest(CAST(1 AS BIGINT), (n - 8 + 23) // 24) AS nc
+       FROM nn),
+e AS (SELECT doc_id, la, n, unnest(range(0, nc)) AS chunk_id FROM cc)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+       CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(la, chunk_id * 24 + 1,
+                                      chunk_id * 24 + 32), ' ')) AS chunk_md5
+FROM e
+"""
+
+
+@register("chunked_docs", _CHUNKS_ORACLE)
+def q_chunked_docs(spark, sf):
+    """Deterministic overlapping document chunking
+    (operators/corpus.py:chunk_documents, 32-token windows, 8-token
+    overlap) — the retrieval/embedding splitter, dual of
+    pack_sequences.  Integer chunk-count formula (no trailing
+    all-overlap chunk, min one chunk per doc), each chunk's exact text
+    md5-pinned.  Map-only: split + explode(sequence) + slice, no
+    shuffle, no Python; fan-out bounded by each doc's own length.  The
+    oracle replays count, offsets, and chunk bytes."""
+    from .operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -917,3 +917,32 @@ def test_inverted_index_two_phase_equals_plain_window(spark):
     # the hot term's postings are present and capped at k
     hot = [r for r in got if r[0] == "hot"]
     assert len(hot) == 4 and all(r[1] == 60 for r in hot)
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from python_fastly_log_query_spark.operators.corpus import chunk_documents
+
+    toks = [f"w{i}" for i in range(50)]
+    rows = [
+        (0, " ".join(toks), "en", "s", 0),        # 50 toks -> 2 chunks
+        (1, " ".join(toks[:10]), "en", "s", 0),   # short -> exactly 1 chunk
+        (2, " ".join(toks[:32]), "en", "s", 0),   # == window -> 1 chunk
+        (3, " ".join(toks[:33]), "en", "s", 0),   # one past -> 2 chunks
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    # nc = max(1, ceil((n - overlap) / stride)): 50 toks -> 2 chunks
+    # ([0..31], [24..49] covers everything; no trailing all-overlap chunk)
+    assert [len(out[d]) for d in range(4)] == [2, 1, 1, 2]
+    c0 = sorted(out[0], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in c0] == [0, 24]
+    assert [r.n_chunk_tokens for r in c0] == [32, 26]
+    import hashlib
+
+    assert c0[1].chunk_md5 == hashlib.md5(" ".join(toks[24:50]).encode()).hexdigest()
+    # overlap: chunk 1 re-covers tokens 24..31 that chunk 0 ended with
+    assert c0[1].start_tok < 32
