@@ -650,7 +650,7 @@ def robots_rules(
         .distinct()
     )
     return (
-        grouped.join(star_groups, ["host", "grp"])
+        grouped.join(F.broadcast(star_groups), ["host", "grp"])
         .filter(F.col("directive").isin("allow", "disallow") & (F.col("value") != ""))
         .select(
             "host",

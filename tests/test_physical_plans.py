@@ -739,3 +739,69 @@ def test_ivf_learned_scan_filters_cells_no_join(spark):
     assert "cell#" in plan and "IN (" in plan  # literal cell-set filter
     assert _nodes(plan, "SortMergeJoin") == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_normalize_text_plan_map_only(spark):
+    """Text normalization: one scan, zero Exchange, zero Python — the
+    13-rule regexp chain stays in whole-stage codegen."""
+    from python_fastly_log_query_spark.operators.webtext import normalize_text
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = docs.select("doc_id", normalize_text(F.col("text")).alias("t"))
+    plan = _plan(df)
+    assert _nodes(plan, "Exchange") == 0
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_url_filter_plan_map_only(spark):
+    from python_fastly_log_query_spark.operators.webtext import url_filter
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = url_filter(
+        docs.select("doc_id", F.concat(F.lit("https://a.com/p?id="),
+                                       F.col("doc_id").cast("string")).alias("url"))
+    )
+    plan = _plan(df)
+    assert _nodes(plan, "Exchange") == 0
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_robots_check_plan_broadcasts_rules(spark):
+    """The rule dim broadcasts; the page side never sort-merge-joins."""
+    from python_fastly_log_query_spark.operators.webtext import (
+        robots_check,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "a.com", "/x/1")], "page_id long, host string, path string"
+    )
+    plan = _plan(robots_check(pages, robots_rules(robots)))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert _nodes(plan, "SortMergeJoin") == 0
+
+
+def test_chunk_documents_plan_map_only(spark):
+    from python_fastly_log_query_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(chunk_documents(docs))
+    assert _nodes(plan, "Exchange") == 0
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Generate" in plan  # the explode(sequence(...)) fan-out
+
+
+def test_inverted_index_plan_two_phase_windows(spark):
+    """Two ranking windows (salted then global), both fed by the
+    map-side-combined tf aggregate — never a df-sized single window over
+    raw postings without the salt split."""
+    from python_fastly_log_query_spark.operators.corpus import inverted_index
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(inverted_index(docs, k=3, salt_buckets=4))
+    assert _nodes(plan, "Window") == 2
+    assert "Python" not in plan and "Arrow" not in plan
