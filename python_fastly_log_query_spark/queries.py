@@ -5195,6 +5195,122 @@ def q_chunked_docs(spark, sf):
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
 
+_QSWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _qsweep_oracle() -> str:
+    th = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _QSWEEP_THRESHOLDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ntok_i,
+         CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok,
+         {_stop_hits_sql()} AS stop_hits,
+         length(text) AS nch,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS nclean
+  FROM documents),
+q AS (
+  SELECT doc_id, ntok_i,
+         round(0.4 * least(1.0, nch / 500.0)
+             + 0.4 * least(1.0, stop_hits / ntok * 5)
+             + 0.2 * (1.0 - (nch - nclean) / nch), 4) AS quality
+  FROM t),
+th(threshold) AS (VALUES {th})
+SELECT th.threshold,
+       CAST(count(*) FILTER (WHERE q.quality >= th.threshold) AS BIGINT)
+         AS docs_kept,
+       CAST(coalesce(sum(q.ntok_i) FILTER (WHERE q.quality >= th.threshold), 0)
+            AS BIGINT) AS tokens_kept
+FROM q CROSS JOIN th GROUP BY 1
+"""
+
+
+@register("quality_threshold_sweep", _qsweep_oracle())
+def q_quality_threshold_sweep(spark, sf):
+    """Quality-threshold YIELD CURVE: docs/tokens surviving each of five
+    candidate quality floors in one pass — the operating-point report a
+    curation run produces before committing to a cut.  The corpus is
+    scanned ONCE; the 5-row threshold dim cross-joins (broadcast, 5×
+    fan-out of count rows only at the aggregate) and the rollup is
+    integer counts over the ROUNDED quality — the same round(·,4)
+    both engines already hash-match in `quality_scores`, so the >=
+    compares cannot diverge."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    text = F.col("text")
+    ntok = F.size(F.split(text, r"\s+")).cast("double")
+    ntok_i = F.size(F.split(text, r"\s+")).cast("long")
+    stop_hits = _stop_hits_spark(text)
+    nch = F.length(text)
+    nclean = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    quality = round_half_away(
+        0.4 * F.least(F.lit(1.0), nch / 500.0)
+        + 0.4 * F.least(F.lit(1.0), stop_hits / ntok * 5)
+        + 0.2 * (1.0 - (nch - nclean) / nch),
+        4,
+    )
+    scored = docs.select(ntok_i.alias("ntok"), quality.alias("quality"))
+    th = spark.createDataFrame(
+        [(t,) for t in _QSWEEP_THRESHOLDS], "threshold double"
+    )
+    keep = F.col("quality") >= F.col("threshold")
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(keep.cast("long")).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("ntok"))), F.lit(0)
+            ).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+_DUP_BY_SOURCE_ORACLE = (
+    _CLUSTERS_CTE
+    + """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE k.doc_id = k.keeper) AS BIGINT) AS n_kept,
+       CAST((count(*) - count(*) FILTER (WHERE k.doc_id = k.keeper))
+            * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM keepers k JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+)
+
+
+@register("dup_rate_by_source", _DUP_BY_SOURCE_ORACLE)
+def q_dup_rate_by_source(spark, sf):
+    """Near-duplication rate PER SOURCE — which feeds are redundant
+    before any per-page work: the dedup_clusters keeper map joined back
+    to the doc's source, rolled up to (n_docs, n_kept, dup_ppm) in
+    integer ppm arithmetic.  One extra map-side-combined shuffle over
+    the cluster map; the verdict table a curation run uses to cap or
+    re-weight whole sources (the mixture_resample_report's upstream
+    signal)."""
+    from .operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    clusters = dedup_clusters(docs, 0.5, _NH, _NB)
+    kept = (F.col("doc_id") == F.col("keeper")).cast("long")
+    return (
+        clusters.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_kept",
+            # integer div keeps the ppm exact (float / then cast could
+            # truncate across a boundary the oracle's // floors exactly)
+            "(n_docs - n_kept) * 1000000L div n_docs AS dup_ppm",
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
