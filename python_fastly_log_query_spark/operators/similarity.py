@@ -840,6 +840,7 @@ def ivf_learned_topk(
     nprobe: int = 2,
     scale: int = KMEANS_SCALE,
     id_col: str = "vec_id",
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF ANN top-k over the TRAINED coarse quantizer —
     :func:`kmeans_fit` centroids replace :func:`ivf_assign`'s
@@ -858,7 +859,8 @@ def ivf_learned_topk(
     exact float cosine (the same left-associated :func:`dot` the brute
     oracle folds).  ``nprobe == n_cells`` degrades to exact brute force
     (tested)."""
-    cents = kmeans_fit(emb, k=n_cells, iters=iters, scale=scale, id_col=id_col)
+    if cents is None:
+        cents = kmeans_fit(emb, k=n_cells, iters=iters, scale=scale, id_col=id_col)
     qv = [
         int(x)
         for x in emb.filter(F.col(id_col) == query_vec_id)
@@ -939,6 +941,7 @@ def knn_graph_learned(
     scale: int = KMEANS_SCALE,
     id_col: str = "vec_id",
     mode: str = "auto",
+    cents: list | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the trained quantizer — top-``k``
     nearest neighbors for EVERY vector, the backbone structure
@@ -965,7 +968,8 @@ def knn_graph_learned(
 
     from .dedup import selfjoin_ready
 
-    cents = kmeans_fit(emb, k=n_cells, iters=iters, scale=scale, id_col=id_col)
+    if cents is None:
+        cents = kmeans_fit(emb, k=n_cells, iters=iters, scale=scale, id_col=id_col)
     base = selfjoin_ready(
         emb.select(id_col, quantize(F.col("embedding"), scale).alias("_qv"))
     )
@@ -1508,13 +1512,17 @@ def graph_expand_topk(
     dimension join — no corpus shuffle.  Exact cosine uses the same
     left-associated :func:`dot` fold as the brute oracle, so results
     are bit-exact cross-engine."""
+    # ONE quantizer training shared by the seed scan and the graph —
+    # bit-identical to training twice (kmeans_fit is deterministic), at
+    # half the cost; at deploy scale both structures are pre-built.
+    cents = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col)
     seeds = ivf_learned_topk(
         emb, query_vec_id, n_seeds, n_cells=n_cells, iters=iters,
-        nprobe=nprobe, id_col=id_col,
+        nprobe=nprobe, id_col=id_col, cents=cents,
     ).select(id_col)
     graph = knn_graph_learned(
         emb, k=graph_k, n_cells=n_cells, iters=iters, nprobe=nprobe,
-        id_col=id_col,
+        id_col=id_col, cents=cents,
     )
     nbrs = graph.join(seeds, id_col).select(F.col("nbr_id").alias(id_col))
     cand = seeds.union(nbrs).distinct()
