@@ -695,3 +695,78 @@ def robots_check(
             F.coalesce(F.col("_w.allow"), F.lit(1)).cast("long").alias("allowed"),
         )
     )
+
+
+# ------------------------------------------------------------ script mix
+
+#: (name, java_class, re2_class) — character classes counted by
+#: :func:`script_mix`.  Java spells scripts \p{IsX}, RE2 spells \p{X};
+#: ASCII classes are shared.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("digit", "[0-9]", "[0-9]"),
+)
+
+
+def script_mix(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document script composition — the CLD-style prefilter a
+    multilingual crawl runs before any model-based language ID (a page
+    that is 40% Han + 40% Latin is code-mixed or a template, and the
+    script census also routes docs to script-specific tokenizers).
+
+    Returns ``(doc_id, n_chars, <name>_ppm per class, dominant)`` —
+    integer ppm of each script class over total chars, and the dominant
+    class (max count, ties by the fixed class order, 'other' when no
+    class scores).  Map-only ``regexp_count`` column expressions inside
+    codegen: one scan, zero shuffle, no Python.  The Java/RE2 class
+    spellings differ (``\\p{IsHan}`` vs ``\\p{Han}``) so
+    :data:`SCRIPT_CLASSES` carries both; counts agree because the
+    planted chars sit deep inside each script block (Unicode-version
+    edge chars are the only place the engines could diverge)."""
+    n = F.length(F.col(text_col)).cast("long")
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(java_cls), F.lit(0))
+        ).cast("long")
+        for name, java_cls, _ in SCRIPT_CLASSES
+    }
+    dominant = F.lit("other")
+    best = F.lit(0).cast("long")
+    # fixed order: later classes win only with STRICTLY more hits
+    for name, _, _ in SCRIPT_CLASSES:
+        take = counts[name] > best
+        dominant = F.when(take, F.lit(name)).otherwise(dominant)
+        best = F.when(take, counts[name]).otherwise(best)
+    cols = [F.col(id_col), n.alias("n_chars")]
+    for name, _, _ in SCRIPT_CLASSES:
+        cols.append(
+            F.when(n > 0, counts[name] * 1000000 / n)
+            .otherwise(F.lit(0)).cast("long").alias(f"{name}_ppm")
+        )
+    cols.append(dominant.alias("dominant"))
+    return docs.select(*cols)
+
+
+def script_mix_sql(text_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`script_mix` (RE2 class spellings)."""
+    cnt = {
+        name: f"CAST(len(regexp_extract_all({text_expr}, '{re2}')) AS BIGINT)"
+        for name, _, re2 in SCRIPT_CLASSES
+    }
+    n = f"CAST(length({text_expr}) AS BIGINT)"
+    dom = "'other'"
+    best = "CAST(0 AS BIGINT)"
+    for name, _, _ in SCRIPT_CLASSES:
+        dom = f"CASE WHEN {cnt[name]} > {best} THEN '{name}' ELSE {dom} END"
+        best = f"CASE WHEN {cnt[name]} > {best} THEN {cnt[name]} ELSE {best} END"
+    ppm = ", ".join(
+        f"CAST(CASE WHEN {n} > 0 THEN {cnt[name]} * 1000000 // {n} ELSE 0 END "
+        f"AS BIGINT) AS {name}_ppm"
+        for name, _, _ in SCRIPT_CLASSES
+    )
+    return (
+        f"SELECT {id_expr}, {n} AS n_chars, {ppm}, {dom} AS dominant"
+    )

@@ -5311,6 +5311,61 @@ def q_dup_rate_by_source(spark, sf):
     )
 
 
+def _script_mix_oracle() -> str:
+    from .operators.webtext import script_mix_sql
+
+    # deterministically code-mixed pages: every doc gets its base latin
+    # text plus per-id cyrillic / han / digit payloads
+    return f"""
+WITH mixed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN '' ELSE text END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ' || repeat(chr(1040) || chr(1073) || chr(1074),
+                                    CAST(doc_id % 5 + 1 AS INT)) ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' ' || repeat(chr(20013) || chr(25991),
+                                    CAST(doc_id % 7 + 1 AS INT)) ELSE '' END
+         || ' ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents)
+{script_mix_sql('t', 'doc_id')} FROM mixed
+"""
+
+
+@register("script_mix_stats", _script_mix_oracle())
+def q_script_mix_stats(spark, sf):
+    """Per-document script composition (operators/webtext.py:script_mix)
+    — the CLD-style prefilter before model-based language ID: integer
+    ppm of latin/cyrillic/han/digit chars plus the dominant class, over
+    deterministically code-mixed pages (both engines splice identical
+    cyrillic/han payloads keyed on doc_id).  Map-only regexp_count
+    expressions in codegen — one scan, zero shuffle, zero Python; the
+    Java/RE2 script-class spellings differ and SCRIPT_CLASSES carries
+    both."""
+    from .operators.webtext import script_mix
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    mixed = F.concat(
+        F.when(d % 10 == 0, F.lit("")).otherwise(F.col("text")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" "),
+                     F.repeat(F.lit("Абв"),
+                              (d % 5 + 1).cast("int"))),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit(" "),
+                     F.repeat(F.lit("中文"),
+                              (d % 7 + 1).cast("int"))),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        d.cast("string"),
+    )
+    return script_mix(docs.select("doc_id", mixed.alias("text")))
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

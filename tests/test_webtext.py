@@ -338,3 +338,27 @@ def test_robots_rules_and_check(spark):
     )
     got = {r.page_id: r.allowed for r in robots_check(pages, robots_rules(robots)).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 5: 0, 6: 1, 7: 1, 8: 1}
+
+
+def test_script_mix_dominance_and_ppm(spark):
+    from python_fastly_log_query_spark.operators.webtext import script_mix
+
+    rows = [
+        (0, "hello world"),                 # pure latin
+        (1, "Абв x"),        # cyrillic beats 1 latin char
+        (2, "中文中文 ab"),  # han dominant
+        (3, "1234567890 ab"),               # digits dominant
+        (4, ""),                            # empty -> other, 0 ppm
+        (5, "!!??"),                        # no class scores -> other
+        (6, "abАб"),              # 2-2 tie -> earlier class wins
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_mix(docs).collect()}
+    assert out[0].dominant == "latin" and out[0].latin_ppm == 833333
+    assert out[1].dominant == "cyrillic"
+    assert out[2].dominant == "han"
+    assert out[3].dominant == "digit"
+    assert out[4].dominant == "other" and out[4].latin_ppm == 0
+    assert out[5].dominant == "other"
+    # strict-greater rule: ties keep the earlier class in SCRIPT_CLASSES
+    assert out[6].dominant == "latin"
