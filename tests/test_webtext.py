@@ -354,7 +354,8 @@ def test_script_mix_dominance_and_ppm(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in script_mix(docs).collect()}
-    assert out[0].dominant == "latin" and out[0].latin_ppm == 833333
+    # "hello world": 10 latin chars / 11 total -> 909090 ppm (floored)
+    assert out[0].dominant == "latin" and out[0].latin_ppm == 909090
     assert out[1].dominant == "cyrillic"
     assert out[2].dominant == "han"
     assert out[3].dominant == "digit"
