@@ -1538,3 +1538,95 @@ def graph_expand_topk(
         .limit(k)
         .select(id_col, round_half_away("c", 4).alias("cosine"))
     )
+
+
+# ----------------------------------------------------- random projection
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """±1 random-sign projection (Achlioptas/JL) of QUANTIZED embeddings
+    to ``out_dim`` integer components — the dimensionality-reduction
+    front end for cheap similarity passes (coarser LSH, compact sketch
+    storage, pre-filtering before exact cosine).
+
+    Integer-exact by construction: inputs quantize to
+    ``floor(x·10^6 + 0.5)`` longs (:func:`quantize`), each output
+    component is an integer ±1 dot — associative, order-free,
+    bit-identical on any engine/partitioning with NO rounding
+    discipline needed (the same trick as the integer PageRank/k-means).
+    Projection planes come from the md5-seeded :func:`hyperplane`
+    family (seed offset 1000+j, disjoint from the LSH bucket planes).
+    Map-only: one scan, zero shuffle; components are emitted as
+    ``p00..`` scalar columns (gate-safe, and the natural parquet layout
+    for a sketch table)."""
+    planes = [hyperplane(1000 + j, dim) for j in range(out_dim)]
+    q = quantize(F.col("embedding"), scale)
+    cols = [F.col(id_col)]
+    for j, p in enumerate(planes):
+        arr = F.array(*[F.lit(s).cast("long") for s in p])
+        proj = F.aggregate(
+            F.zip_with(q, arr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cols.append(proj.alias(f"p{j:02d}"))
+    return emb.select(*cols)
+
+
+def rp_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    out_dim: int = 8,
+    dim: int = 64,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by integer dot product IN THE PROJECTED SPACE — the cheap
+    pre-ranking a sketch table supports (the exact re-rank then touches
+    only these k rows; :func:`graph_expand_topk` / PQ re-rank are the
+    refine stages).  All arithmetic is int64 (projections ≤ 64·10^6·
+    |x|max, products ≤ ~4·10^15, sums far under 2^63), so the ranking
+    is bit-exact cross-engine with zero float discipline."""
+    red = random_projection(emb, out_dim=out_dim, dim=dim, scale=scale,
+                            id_col=id_col)
+    pcols = [f"p{j:02d}" for j in range(out_dim)]
+    q = red.filter(F.col(id_col) == query_vec_id).select(
+        *[F.col(c).alias(f"q_{c}") for c in pcols]
+    )
+    score = None
+    for c in pcols:
+        term = F.col(c) * F.col(f"q_{c}")
+        score = term if score is None else score + term
+    return (
+        red.crossJoin(F.broadcast(q))
+        .select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rp_sql_parts(out_dim: int = 8, dim: int = 64,
+                 scale: int = KMEANS_SCALE) -> tuple[str, list[str]]:
+    """(quantize CTE, per-component projection SQL exprs over list
+    column ``qv``) mirroring :func:`random_projection` for DuckDB."""
+    qcte = (
+        "qt AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings)"
+    )
+    exprs = []
+    for j in range(out_dim):
+        p = hyperplane(1000 + j, dim)
+        lits = ", ".join(str(s) for s in p)
+        exprs.append(
+            f"CAST(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)), "
+            f"[{lits}]::DOUBLE[]) AS BIGINT)"
+        )
+    return qcte, exprs

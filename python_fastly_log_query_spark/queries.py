@@ -5366,6 +5366,42 @@ def q_script_mix_stats(spark, sf):
     return script_mix(docs.select("doc_id", mixed.alias("text")))
 
 
+def _rp_topk_oracle() -> str:
+    from .operators.similarity import rp_sql_parts
+
+    qcte, exprs = rp_sql_parts(out_dim=8)
+    proj = ", ".join(f"{e} AS p{j:02d}" for j, e in enumerate(exprs))
+    score = " + ".join(
+        f"r.p{j:02d} * q.p{j:02d}" for j in range(8)
+    )
+    return f"""
+WITH {qcte},
+red AS (SELECT vec_id, {proj} FROM qt),
+q AS (SELECT * FROM red WHERE vec_id = 0)
+SELECT r.vec_id, CAST({score} AS BIGINT) AS score
+FROM red r CROSS JOIN q
+ORDER BY {score} DESC, r.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("embedding_rp_topk", _rp_topk_oracle())
+def q_embedding_rp_topk(spark, sf):
+    """Random-projection sketch ranking
+    (operators/similarity.py:random_projection + rp_topk): embeddings
+    quantized to 10^6-scaled longs and ±1-projected to 8 integer
+    components (md5-seeded Achlioptas planes, map-only, zero shuffle),
+    then top-10 by integer dot in the PROJECTED space against the
+    vec_id-0 query — the cheap pre-rank a sketch table supports before
+    exact refine.  Every step is associative int64 arithmetic: no
+    rounding discipline, bit-exact cross-engine by construction; the
+    oracle replays quantization, all 8 sign dots, and the ranking."""
+    from .operators.similarity import rp_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return rp_topk(emb, 0, k=10, out_dim=8)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

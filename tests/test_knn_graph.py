@@ -61,3 +61,30 @@ def test_pruned_probe_matches_python_replica(spark):
     assert any(len(v) < 3 for v in got.values()) or any(
         len(set(j for _, j, _ in v)) < len(VECS) - 1 for v in got.values()
     )
+
+
+def test_random_projection_matches_python_replica(spark):
+    import hashlib
+    import math
+
+    from python_fastly_log_query_spark.operators.similarity import (
+        KMEANS_SCALE,
+        random_projection,
+    )
+
+    vecs = {0: [0.5, -1.25, 2.0, 0.125], 1: [1.0, 1.0, -1.0, 0.0]}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: [r.p00, r.p01, r.p02] for r in
+           random_projection(emb, out_dim=3, dim=4).collect()}
+
+    def plane(k, d):
+        return [1 if int(hashlib.md5(f"{k}:{i}".encode()).hexdigest()[0], 16) >= 8
+                else -1 for i in range(d)]
+
+    for vid, v in vecs.items():
+        q = [math.floor(x * KMEANS_SCALE + 0.5) for x in v]
+        want = [sum(a * s for a, s in zip(q, plane(1000 + j, 4)))
+                for j in range(3)]
+        assert got[vid] == want, (vid, got[vid], want)
