@@ -5402,6 +5402,98 @@ def q_embedding_rp_topk(spark, sf):
     return rp_topk(emb, 0, k=10, out_dim=8)
 
 
+_PROFILE_ORACLE = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS id_nulls,
+         count(DISTINCT event_id) AS id_nd,
+         CAST(min(event_id) AS VARCHAR) AS id_min,
+         CAST(max(event_id) AS VARCHAR) AS id_max,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS u_nulls,
+         count(DISTINCT user_id) AS u_nd,
+         CAST(min(user_id) AS VARCHAR) AS u_min,
+         CAST(max(user_id) AS VARCHAR) AS u_max,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+         count(DISTINCT event_type) AS t_nd,
+         CAST(min(event_type) AS VARCHAR) AS t_min,
+         CAST(max(event_type) AS VARCHAR) AS t_max
+  FROM events)
+SELECT 'event_id' AS "column", CAST(n AS BIGINT) AS n_rows,
+       CAST(id_nulls AS BIGINT) AS n_null, CAST(id_nd AS BIGINT) AS n_distinct,
+       id_min AS min_s, id_max AS max_s FROM m
+UNION ALL
+SELECT 'user_id', CAST(n AS BIGINT), CAST(u_nulls AS BIGINT),
+       CAST(u_nd AS BIGINT), u_min, u_max FROM m
+UNION ALL
+SELECT 'event_type', CAST(n AS BIGINT), CAST(t_nulls AS BIGINT),
+       CAST(t_nd AS BIGINT), t_min, t_max FROM m
+"""
+
+
+@register("data_quality_profile", _PROFILE_ORACLE)
+def q_data_quality_profile(spark, sf):
+    """Per-column data-quality profile (operators/profile.py:profile)
+    over the events table — row count, null count, exact distinct
+    count, min/max (rendered AFTER aggregation so numerics order
+    numerically) for event_id / user_id / event_type, the Deequ-shape
+    audit a pipeline runs on every ingested table.  ONE scan + one
+    1-row multi-aggregate with map-side partials; at fleet scale
+    exact_distinct=False swaps in the HLL sketch (same exact↔approx
+    dial as the percentile call sites)."""
+    from .operators.profile import profile
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return profile(ev, ["event_id", "user_id", "event_type"])
+
+
+_VALIDATE_ORACLE = """
+WITH m AS (
+  SELECT sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS r0,
+         count(event_id) - count(DISTINCT event_id) AS r1,
+         sum(CASE WHEN event_type IS NOT NULL
+                  AND event_type NOT IN ('click', 'view', 'purchase', 'login', 'logout')
+                  THEN 1 ELSE 0 END) AS r2,
+         sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS r3,
+         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS r4
+  FROM events)
+SELECT 'event_id' AS "column", 'not_null' AS rule,
+       CAST(r0 AS BIGINT) AS violations,
+       CAST(CASE WHEN r0 = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM m
+UNION ALL SELECT 'event_id', 'unique', CAST(r1 AS BIGINT),
+       CAST(CASE WHEN r1 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM m
+UNION ALL SELECT 'event_type', 'in_set', CAST(r2 AS BIGINT),
+       CAST(CASE WHEN r2 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM m
+UNION ALL SELECT 'user_id', 'non_negative', CAST(r3 AS BIGINT),
+       CAST(CASE WHEN r3 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM m
+UNION ALL SELECT 'value', 'non_negative', CAST(r4 AS BIGINT),
+       CAST(CASE WHEN r4 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM m
+"""
+
+
+@register("data_quality_violations", _VALIDATE_ORACLE)
+def q_data_quality_violations(spark, sf):
+    """Declarative rule validation (operators/profile.py:validate) —
+    the constraint suite as DATA: (column, rule, param) rows compile
+    into ONE multi-aggregate pass (not-null, uniqueness via
+    count-minus-distinct, membership, non-negativity), each rule
+    reporting violations + a pass verdict.  New checks deploy without
+    touching the plan upstream; one scan regardless of rule count."""
+    from .operators.profile import validate
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return validate(
+        ev,
+        [
+            ("event_id", "not_null", None),
+            ("event_id", "unique", None),
+            ("event_type", "in_set",
+             ("click", "view", "purchase", "login", "logout")),
+            ("user_id", "non_negative", None),
+            ("value", "non_negative", None),
+        ],
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
