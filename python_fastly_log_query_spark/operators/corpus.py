@@ -1563,3 +1563,68 @@ def chunk_documents(
         ),
         F.md5(F.encode(F.array_join(piece, " "), "UTF-8")).alias("chunk_md5"),
     )
+
+
+# -------------------------------------------------------- collocations
+
+
+def pmi_top_bigrams(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations: adjacent-token bigrams ranked by an
+    integer PMI surrogate — the corpus statistic tokenizer-merge
+    audits and phrase-mining passes read (is 'new york' a unit or a
+    coincidence).
+
+    Score: ``(n_ab·10^6 div n_a)·10^6 div n_b`` — monotone in the PMI
+    core n_ab/(n_a·n_b) with the floor-division stepping DEFINED into
+    the metric (both engines floor identically; the log is monotone so
+    ranking by the rational core ranks by PMI — the bm25/top_terms rule
+    of keeping transcendentals out of hashed values).  ``min_count``
+    keeps the one-off pairs PMI notoriously over-ranks out of the top-k.
+
+    Plan: bigram extraction is map-only (an index-transform + explode —
+    no self-join); pair and unigram counts are map-side-combined
+    groupBys; the final rank is TakeOrderedAndProject over pairs
+    passing ``min_count``.  Everything shuffled is count rows, never
+    corpus rows."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("nw"))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    ).filter(F.col("n_ab") >= min_count)
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                            .withColumnRenamed("nw", "n_a")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("nw", "n_b")), "w2")
+        .selectExpr(
+            "w1", "w2", "n_ab",
+            "(n_ab * 1000000L div n_a) * 1000000L div n_b AS score",
+        )
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

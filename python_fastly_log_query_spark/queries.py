@@ -5494,6 +5494,38 @@ def q_data_quality_violations(spark, sf):
     )
 
 
+_PMI_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS la FROM documents),
+bi0 AS (SELECT la[i + 1] AS w1, la[i + 2] AS w2
+        FROM (SELECT la, unnest(range(0, len(la) - 1)) AS i FROM t)),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS nw
+        FROM (SELECT unnest(la) AS w FROM t) GROUP BY 1),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+       FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5),
+s AS (SELECT bi.w1, bi.w2, bi.n_ab,
+             (bi.n_ab * 1000000 // a.nw) * 1000000 // b.nw AS score
+      FROM bi JOIN uni a ON a.w = bi.w1 JOIN uni b ON b.w = bi.w2)
+SELECT w1, w2, n_ab, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+@register("pmi_top_bigrams", _PMI_ORACLE)
+def q_pmi_top_bigrams(spark, sf):
+    """Top-20 collocations by integer PMI surrogate
+    (operators/corpus.py:pmi_top_bigrams, min_count=5): adjacent-token
+    bigrams ranked by (n_ab·10^6 div n_a)·10^6 div n_b — monotone in
+    the PMI core with floor-division stepping DEFINED into the metric,
+    so both engines rank identically with no transcendentals.  Bigram
+    extraction is a map-only index-transform + explode (no self-join);
+    everything shuffled is count rows; the unigram dim broadcasts; the
+    final cut is TakeOrderedAndProject."""
+    from .operators.corpus import pmi_top_bigrams
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pmi_top_bigrams(docs, k=20, min_count=5)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

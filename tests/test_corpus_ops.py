@@ -946,3 +946,28 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert c0[1].chunk_md5 == hashlib.md5(" ".join(toks[24:50]).encode()).hexdigest()
     # overlap: chunk 1 re-covers tokens 24..31 that chunk 0 ended with
     assert c0[1].start_tok < 32
+
+
+def test_pmi_top_bigrams_ranks_planted_collocation(spark):
+    from python_fastly_log_query_spark.operators.corpus import pmi_top_bigrams
+
+    # 'new york' always adjacent (perfect collocation); 'the' pairs with
+    # everything (high n_a kills its score); singleton pairs cut by
+    # min_count
+    rows = []
+    for i in range(10):
+        rows.append((i, "the new york office of the big firm", "en", "s", 0))
+    rows.append((10, "one off pair", "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = pmi_top_bigrams(docs, k=5, min_count=5).collect()
+    top = (out[0].w1, out[0].w2)
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("new", "york") in pairs
+    # the planted perfect collocation outranks any 'the X' pair
+    the_scores = [r.score for r in out if r.w1 == "the"]
+    ny = [r.score for r in out if (r.w1, r.w2) == ("new", "york")][0]
+    assert all(ny > s for s in the_scores)
+    # min_count: the one-off bigrams never appear
+    assert ("one", "off") not in pairs
