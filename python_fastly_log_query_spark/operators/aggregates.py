@@ -708,3 +708,88 @@ def daily_summary(df: DataFrame) -> DataFrame:
             "p" + c[1:], F.col(c) / F.col("total_requests") * 100
         )
     return out
+
+
+# ---------------------------------------------------- funnels / retention
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed stage1 →
+    stage2 → … IN TIME ORDER (other events may interleave) — the
+    product-analytics query every event log answers (reference analog:
+    the per-IP behavioural rollups of
+    ``/root/reference/src/analyze/analytics.py:536-626`` lifted to
+    ordered sequences).
+
+    Per user, the event-type sequence is assembled ONCE —
+    ``sort_array(collect_list(struct(ts, event_id, type)))`` gives a
+    deterministic total order (event_id breaks ts ties) — and each
+    funnel prefix is a subsequence regex test on the joined string
+    (``(?s)`` dotall, shared Java/RE2 dialect).  Returns one row per
+    funnel depth: ``(stage, depth, users)``.
+
+    Scale: one map-side-combined shuffle on ``user_col``; per-user
+    state is that user's OWN event count (a hot user makes a long
+    array, not a hot partition — aggregation state, where skew belongs,
+    not a window).  The regex tests and the depth fan-out are map-only
+    over one row per user."""
+    seq = events.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.col("event_type").alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("_seq")
+    )
+    out = None
+    for depth in range(1, len(stages) + 1):
+        pat = "(?s).*\\b" + "\\b.*\\b".join(stages[:depth]) + "\\b.*"
+        row = seq.agg(
+            F.sum(F.col("_seq").rlike(pat).cast("long")).alias("users")
+        ).select(
+            F.lit(" -> ".join(stages[:depth])).alias("stage"),
+            F.lit(depth).cast("long").alias("depth"),
+            F.col("users").cast("long"),
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
+def hourly_retention(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Hour-over-hour retention: of the users active in hour h, how
+    many are also active in hour h+1 — the cohort stickiness rollup.
+    Distinct (user, hour) pairs self-join on ``(user, hour+1)``; both
+    sides shuffle on the same key so the join co-locates, and the
+    output is hours-sized.  Returns ``(hour, active_users,
+    retained_users, retained_ppm)`` in integer ppm."""
+    uh = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    nxt = uh.select("u", (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h"))
+    j = uh.join(nxt.withColumn("_r", F.lit(1)), ["u", "h"], "left")
+    return (
+        j.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).alias("retained_users"),
+        )
+        .selectExpr(
+            "h AS hour",
+            "CAST(active_users AS LONG) AS active_users",
+            "CAST(retained_users AS LONG) AS retained_users",
+            "retained_users * 1000000L div active_users AS retained_ppm",
+        )
+    )

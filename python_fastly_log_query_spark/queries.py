@@ -5526,6 +5526,71 @@ def q_pmi_top_bigrams(spark, sf):
     return pmi_top_bigrams(docs, k=20, min_count=5)
 
 
+def _funnel_oracle() -> str:
+    stages = ("view", "click", "purchase")
+    parts = []
+    for depth in range(1, 4):
+        pat = "(?s).*\\b" + "\\b.*\\b".join(stages[:depth]) + "\\b.*"
+        pat = pat.replace("\\", "\\\\")
+        label = " -> ".join(stages[:depth])
+        parts.append(
+            f"SELECT '{label}' AS stage, CAST({depth} AS BIGINT) AS depth, "
+            f"CAST(sum(CASE WHEN regexp_matches(s, E'{pat}') THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS users FROM seq"
+        )
+    return (
+        "WITH seq AS (SELECT user_id, "
+        "string_agg(event_type, ' ' ORDER BY ts, event_id) AS s "
+        "FROM events GROUP BY 1)\n" + "\nUNION ALL ".join(parts)
+    )
+
+
+@register("funnel_counts", _funnel_oracle())
+def q_funnel_counts(spark, sf):
+    """Ordered funnel view -> click -> purchase
+    (operators/aggregates.py:funnel_counts): users whose event sequence
+    contains each funnel prefix IN TIME ORDER (interleaved events
+    allowed) — per-user sequences assembled once via
+    sort_array(collect_list(struct(ts, event_id, type))) (event_id
+    breaks ts ties, so the order is total and deterministic), then one
+    subsequence regex per depth in the shared Java/RE2 dialect.  One
+    map-side-combined shuffle on user_id; a hot user grows an array,
+    never a hot window partition."""
+    from .operators.aggregates import funnel_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return funnel_counts(ev, ("view", "click", "purchase"))
+
+
+_RETENTION_ORACLE = """
+WITH uh AS (SELECT DISTINCT user_id AS u, date_trunc('hour', ts) AS h
+            FROM events),
+nxt AS (SELECT u, h - INTERVAL 1 HOUR AS h FROM uh)
+SELECT uh.h AS hour,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN n.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained_users,
+       sum(CASE WHEN n.u IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS retained_ppm
+FROM uh LEFT JOIN nxt n ON n.u = uh.u AND n.h = uh.h
+GROUP BY 1
+"""
+
+
+@register("hourly_retention", _RETENTION_ORACLE)
+def q_hourly_retention(spark, sf):
+    """Hour-over-hour user retention
+    (operators/aggregates.py:hourly_retention): of the users active in
+    hour h, the count and integer-ppm share also active in h+1 — the
+    cohort stickiness rollup.  Distinct (user, hour) pairs self-join on
+    the shifted key (both sides shuffle on the same key, co-located
+    join), output is hours-sized."""
+    from .operators.aggregates import hourly_retention
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return hourly_retention(ev)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -1,0 +1,59 @@
+"""Funnel + retention analytics (operators/aggregates.py) — planted
+sequences pin the ORDER semantics the degenerate registry data can't."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from python_fastly_log_query_spark.operators.aggregates import (
+    funnel_counts,
+    hourly_retention,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, 0.0, "")
+            for i, (u, m, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_requires_time_order(spark):
+    rows = [
+        # u1: full funnel in order (with interleaved noise)
+        (1, 0, "view"), (1, 1, "error"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2: purchase BEFORE click -> depth 2 only
+        (2, 0, "view"), (2, 1, "purchase"), (2, 2, "click"),
+        # u3: view only
+        (3, 0, "view"),
+        # u4: never views
+        (4, 0, "click"), (4, 1, "purchase"),
+    ]
+    out = {r.depth: r.users for r in
+           funnel_counts(_ev(spark, rows)).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_word_boundaries(spark):
+    # 'preview' must not satisfy the 'view' stage
+    rows = [(1, 0, "preview"), (1, 1, "click"), (2, 0, "view")]
+    out = {r.depth: r.users for r in
+           funnel_counts(_ev(spark, rows), ("view",)).collect()}
+    assert out == {1: 1}
+
+
+def test_hourly_retention_counts(spark):
+    rows = [
+        (1, 0, "view"),            # u1 active hour 0
+        (1, 61, "view"),           # ... and hour 1 -> retained at hour 0
+        (2, 5, "view"),            # u2 active hour 0 only
+        (3, 62, "view"),           # u3 active hour 1 only
+    ]
+    out = {r.hour.hour: r for r in hourly_retention(_ev(spark, rows)).collect()}
+    assert out[0].active_users == 2 and out[0].retained_users == 1
+    assert out[0].retained_ppm == 500000
+    assert out[1].active_users == 2 and out[1].retained_users == 0
