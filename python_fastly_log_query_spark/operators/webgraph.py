@@ -313,3 +313,33 @@ lab{k} AS (
   SELECT l.host, coalesce(w.label, l.label) AS label
   FROM {prev} l LEFT JOIN win{k} w ON w.v = l.host)""")
     return ",".join(parts), f"SELECT host, label FROM lab{iterations}"
+
+
+# ----------------------------------------------------------- reciprocity
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host link reciprocity: the integer-ppm share of a host's
+    distinct out-link targets that link back — the classic link-exchange
+    / spam-farm signal (organic linking is largely one-way; paid or
+    farmed linking reciprocates).  One self-join of the distinct edge
+    set against its reverse on the SAME (src, dst) key shape (co-located
+    shuffle), then a host rollup: ``(host, out_targets, reciprocated,
+    reciprocity_ppm)``.  Edge list is hosts²-bounded — dimension-like —
+    so this runs after extraction at any corpus size."""
+    e = edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    j = e.join(rev.withColumn("_r", F.lit(1)), ["src", "dst"], "left")
+    return (
+        j.groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("out_targets"),
+            F.sum(F.coalesce(F.col("_r"), F.lit(0))).alias("reciprocated"),
+        )
+        .selectExpr(
+            "host",
+            "CAST(out_targets AS LONG) AS out_targets",
+            "CAST(reciprocated AS LONG) AS reciprocated",
+            "reciprocated * 1000000L div out_targets AS reciprocity_ppm",
+        )
+    )

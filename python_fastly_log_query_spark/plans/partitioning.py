@@ -66,3 +66,65 @@ def spread(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
+
+
+# ------------------------------------------------------- z-order layout
+
+
+def zorder_key(x, y, bits: int = 8):
+    """Morton/z-order interleave of two non-negative integer columns
+    (``bits`` bits each) — the multi-dimensional clustering key behind
+    OPTIMIZE ZORDER-style layout: rows near each other in (x, y) land
+    near each other in z, so range predicates on EITHER dimension prune
+    contiguous file ranges after a sort/bin by z.
+
+    Bit i of x lands at z-bit 2i, of y at 2i+1 — expressed as pure
+    div/mod/multiply integer arithmetic (no engine bitwise builtins),
+    so the key is bit-identical everywhere a BIGINT is a BIGINT."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bx = (x.cast("long") / (1 << i)).cast("long") % 2
+        by = (y.cast("long") / (1 << i)).cast("long") % 2
+        z = z + bx * (1 << (2 * i)) + by * (1 << (2 * i + 1))
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_key`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x}) // {1 << i}) % 2 * {1 << (2 * i)}")
+        terms.append(f"(({y}) // {1 << i}) % 2 * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_bins(df, x: str, y: str, bits: int = 8, bin_shift: int = 6):
+    """Per-z-bin layout report: assign every row the z-order bin
+    ``z div 2^bin_shift`` and report per-bin row counts plus the x/y
+    spans the bin actually covers — the write-side clustering audit
+    (small spans per bin = good pruning for both dimensions).
+
+    The sort a real OPTIMIZE would do is by ``z`` itself; binning here
+    keeps the report bins-sized.  One map-only key computation + one
+    map-side-combined rollup."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key(F.col(x), F.col(y), bits)
+    return (
+        df.select(
+            (z / (1 << bin_shift)).cast("long").alias("bin"),
+            z.alias("_z"),
+            F.col(x).cast("long").alias("_x"),
+            F.col(y).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+            (F.max("_x") - F.min("_x")).alias("x_span"),
+            (F.max("_y") - F.min("_y")).alias("y_span"),
+        )
+    )

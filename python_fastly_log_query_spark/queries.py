@@ -5591,6 +5591,76 @@ def q_hourly_retention(spark, sf):
     return hourly_retention(ev)
 
 
+_RECIPROCITY_ORACLE = (
+    f"WITH {_WG_EDGES_SQL}, "
+    """e AS (SELECT DISTINCT src, dst FROM edges),
+rev AS (SELECT dst AS src, src AS dst FROM e)
+SELECT e.src AS host,
+       CAST(count(*) AS BIGINT) AS out_targets,
+       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reciprocated,
+       sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS reciprocity_ppm
+FROM e LEFT JOIN rev r ON r.src = e.src AND r.dst = e.dst
+GROUP BY 1
+"""
+)
+
+
+@register("host_link_reciprocity", _RECIPROCITY_ORACLE)
+def q_host_link_reciprocity(spark, sf):
+    """Per-host link reciprocity
+    (operators/webgraph.py:link_reciprocity): the integer-ppm share of
+    each host's distinct out-link targets that link back — the
+    link-exchange / spam-farm signal complementing PageRank (authority)
+    and LPA (communities).  One co-located self-join of the distinct
+    edge set against its reverse plus a host rollup, all over the
+    hosts²-bounded edge dimension."""
+    from .operators.webgraph import extract_outlinks, link_reciprocity
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return link_reciprocity(extract_outlinks(_wg_pages_spark(docs)))
+
+
+def _zorder_oracle() -> str:
+    from .plans.partitioning import zorder_key_sql
+
+    zexpr = zorder_key_sql("event_id % 256", "hour(ts)", bits=8)
+    return f"""
+WITH z AS (
+  SELECT {zexpr} AS z, event_id % 256 AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events)
+SELECT CAST(z // 64 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(z) AS BIGINT) AS z_min,
+       CAST(max(z) AS BIGINT) AS z_max,
+       CAST(max(x) - min(x) AS BIGINT) AS x_span,
+       CAST(max(y) - min(y) AS BIGINT) AS y_span
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_layout_bins", _zorder_oracle())
+def q_zorder_layout_bins(spark, sf):
+    """Z-order (Morton) clustering audit
+    (plans/partitioning.py:zorder_key/zorder_bins, 8 bits per
+    dimension): interleave (event_id % 256, hour(ts)) into the
+    multi-dimensional layout key OPTIMIZE ZORDER sorts by, bin by
+    z div 64, and report per-bin row counts + the x/y spans each bin
+    covers (small spans = range predicates on EITHER dimension prune
+    contiguous file ranges).  The key is pure div/mod integer
+    arithmetic — no engine bitwise builtins — so it is bit-identical
+    everywhere; one map-only key pass + one map-side-combined
+    rollup."""
+    from .plans.partitioning import zorder_bins
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        (F.col("event_id") % 256).alias("x"), F.hour("ts").alias("y")
+    )
+    return zorder_bins(ev, "x", "y", bits=8, bin_shift=6)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

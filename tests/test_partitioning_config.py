@@ -73,3 +73,40 @@ def test_spread_is_noop_on_well_partitioned_input(spark):
     out = spread(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() == target
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.plans.partitioning import zorder_key
+
+    def py_z(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (170, 85)]
+    df = spark.createDataFrame(cases, "x long, y long").select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("z")
+    )
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for x, y in cases:
+        assert got[(x, y)] == py_z(x, y), (x, y, got[(x, y)], py_z(x, y))
+    # interleave property: z(255,255) fills all 16 bits
+    assert got[(255, 255)] == (1 << 16) - 1
+
+
+def test_zorder_bins_have_bounded_spans(spark):
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.plans.partitioning import zorder_bins
+
+    df = spark.range(4096).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 7) % 256).alias("y")
+    )
+    out = zorder_bins(df, "x", "y", bits=8, bin_shift=6).collect()
+    # a 64-wide z range covers at most an 8x8 (x, y) tile
+    assert all(r.x_span <= 7 and r.y_span <= 7 for r in out)
+    assert sum(r.n_rows for r in out) == 4096
