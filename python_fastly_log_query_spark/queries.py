@@ -5661,6 +5661,41 @@ def q_zorder_layout_bins(spark, sf):
     return zorder_bins(ev, "x", "y", bits=8, bin_shift=6)
 
 
+_ANOMALY_ORACLE = """
+WITH hc AS (SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS requests
+            FROM events GROUP BY 1),
+m AS (SELECT quantile_cont(requests, 0.5) AS med FROM hc)
+SELECT hour, requests, round(med, 4) AS median_requests
+FROM hc, m
+WHERE requests > 2 * med
+"""
+
+
+@register("traffic_anomaly_hours", _ANOMALY_ORACLE)
+def q_traffic_anomaly_hours(spark, sf):
+    """Median-based traffic anomaly detection: hours whose event count
+    exceeds 2× the corpus-wide MEDIAN hourly count — robust to the
+    spikes themselves (a mean-based cut moves with the anomaly; the
+    median doesn't), the ops-side complement of the lag-based
+    `largest_traffic_spikes`.  One hourly rollup + a 1-row exact
+    `percentile` broadcast back over the hours frame (hours-sized, not
+    corpus-sized); `percentile_approx` is the fleet-scale swap, flagged
+    as at every other percentile call site."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("requests")
+    )
+    med = hc.agg(F.expr("percentile(requests, 0.5)").alias("med"))
+    return (
+        hc.crossJoin(F.broadcast(med))
+        .filter(F.col("requests") > 2 * F.col("med"))
+        .select(
+            "hour", "requests", round_half_away("med", 4).alias("median_requests")
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
