@@ -5696,6 +5696,75 @@ def q_traffic_anomaly_hours(spark, sf):
     )
 
 
+_INCR_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("incremental_rollup_merge", _INCR_ROLLUP_ORACLE)
+def q_incremental_rollup_merge(spark, sf):
+    """Materialized-view maintenance: the hourly rollup of an OLD
+    partition (events before day 15) algebraically MERGED with the
+    rollup of the newly-arrived batch — grouped count/sum are monoids,
+    so merge = union + re-aggregate on the key, and the result must
+    equal the direct rollup over everything, WHICH IS EXACTLY WHAT THE
+    ORACLE COMPUTES (the merge identity is the check, not a
+    re-statement of the plan).  In production the old rollup is already
+    materialized (plans/checkpoint.py lineage), so maintenance cost is
+    batch-sized, never corpus-sized.  Values aggregate as floor(10^4·v)
+    integers (explicit floor: a bare BIGINT cast truncates in Spark but
+    rounds in DuckDB) — associative, order-free (the integer-sum discipline)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        )
+
+    old = rollup(ev.filter(F.col("ts") < cut))
+    new = rollup(ev.filter(F.col("ts") >= cut))
+    return (
+        old.unionByName(new)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("value_e4").cast("long").alias("value_e4"),
+        )
+    )
+
+
+_GROUPED_QUANTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       CAST(count(value) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("value_quantiles_by_type", _GROUPED_QUANTILES_ORACLE)
+def q_value_quantiles_by_type(spark, sf):
+    """Grouped exact quantiles: p50/p95 of `value` per event_type —
+    the per-segment latency/size distribution report.  Exact
+    `percentile` at test scale ↔ `percentile_approx` at fleet scale
+    (the repo-wide dial); group count is event-type-sized so the
+    per-group sort state is bounded by segment volume, and a hot
+    segment is aggregation state, not a window partition."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        round_half_away(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        round_half_away(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count("value").cast("long").alias("n"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
