@@ -5765,6 +5765,105 @@ def q_value_quantiles_by_type(spark, sf):
     )
 
 
+_ROLLUP_CUBE_ORACLE = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       CAST(coalesce(CAST(hour(ts) AS BIGINT), -1) AS BIGINT) AS hod,
+       CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY ROLLUP (event_type, hour(ts))
+"""
+
+
+@register("events_rollup_hierarchy", _ROLLUP_CUBE_ORACLE)
+def q_events_rollup_hierarchy(spark, sf):
+    """Hierarchical GROUPING SETS rollup — (event_type, hour-of-day),
+    (event_type), and grand total in ONE pass via `ROLLUP`, with
+    `grouping()` ids disambiguating real NULL keys from subtotal rows
+    (the classic cube-query trap).  Spark plans one Expand + one
+    map-side-combined aggregate: three granularities for one shuffle,
+    exactly what a dashboard's drill-down reads."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = ev.withColumn("hod", F.hour("ts"))
+    return (
+        ev.rollup("event_type", "hod")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("hod")).cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("long"), F.lit(-1)).alias("hod"),
+            "gid",
+            "n",
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
+@register("daily_event_type_pivot", _PIVOT_ORACLE)
+def q_daily_event_type_pivot(spark, sf):
+    """Wide-format daily event matrix via `pivot` with an EXPLICIT
+    value list — the pivot-without-a-discovery-pass shape (omitting the
+    list costs Spark an extra distinct scan AND makes the output schema
+    data-dependent, which no downstream contract survives).  One
+    map-side-combined aggregate; missing cells land 0 via coalesce."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+def _budget_tiers_oracle() -> str:
+    from .operators.webgraph import pagerank_sql
+
+    ctes, final = pagerank_sql(5)
+    return f"""
+WITH {_WG_EDGES_SQL}, {ctes},
+pr AS ({final})
+SELECT host, pr,
+       CAST(ntile(4) OVER (ORDER BY pr DESC, host ASC) AS BIGINT) AS tier
+FROM pr
+"""
+
+
+@register("crawl_budget_tiers", _budget_tiers_oracle())
+def q_crawl_budget_tiers(spark, sf):
+    """Crawl-budget allocation: hosts quartiled by integer-exact
+    PageRank (`ntile(4)` over (pr DESC, host)) — tier 1 gets the deep
+    recrawl budget, tier 4 the cap (the frontier-scheduling table a
+    crawler actually consumes).  The window runs over the HOSTS
+    dimension (never pages), and the rank key is the bit-deterministic
+    integer pr, so tiling is reproducible everywhere."""
+    from pyspark.sql import Window
+
+    from .operators.webgraph import extract_outlinks, pagerank
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pr = pagerank(extract_outlinks(_wg_pages_spark(docs)), iterations=5)
+    w = Window.orderBy(F.desc("pr"), F.asc("host"))
+    return pr.select(
+        "host", "pr", F.ntile(4).over(w).cast("long").alias("tier")
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
