@@ -146,6 +146,16 @@ STANDALONE_QUERIES = [
     "data_quality_profile",
     "data_quality_violations",
     "pmi_top_bigrams",
+    "funnel_counts",
+    "hourly_retention",
+    "host_link_reciprocity",
+    "zorder_layout_bins",
+    "traffic_anomaly_hours",
+    "incremental_rollup_merge",
+    "value_quantiles_by_type",
+    "events_rollup_hierarchy",
+    "daily_event_type_pivot",
+    "crawl_budget_tiers",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
