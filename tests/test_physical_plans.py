@@ -805,3 +805,41 @@ def test_inverted_index_plan_two_phase_windows(spark):
     plan = _plan(inverted_index(docs, k=3, salt_buckets=4))
     assert _nodes(plan, "Window") == 2
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_funnel_single_shuffle_no_window(spark):
+    """Per-user sequences are ONE map-side-combined aggregate — no
+    ranking window, no Python; a hot user is aggregation state."""
+    from python_fastly_log_query_spark.operators.aggregates import funnel_counts
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plan = _plan(funnel_counts(ev))
+    assert _nodes(plan, "Window") == 0
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_zorder_bins_map_only_key_plus_one_agg_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.plans.partitioning import zorder_bins
+
+    df = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        (F.col("event_id") % 256).alias("x"), F.hour("ts").alias("y")
+    )
+    plan = _plan(zorder_bins(df, "x", "y"))
+    # the interleave is pure projection; the only Exchange is the rollup's
+    assert _nodes(plan, "Exchange") == 1
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_pivot_single_aggregate_no_discovery_scan(spark):
+    """Explicit value list: exactly ONE scan of events (an implicit
+    pivot would add a distinct-values job first)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["daily_event_type_pivot"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert _nodes(plan, "Scan parquet") == 1
+    # Spark's standard two-phase pivot: (day, type) partials, then the
+    # day-keyed widening aggregate — two Exchanges, no discovery job
+    assert _nodes(plan, "Exchange") == 2
