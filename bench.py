@@ -156,6 +156,7 @@ STANDALONE_QUERIES = [
     "events_rollup_hierarchy",
     "daily_event_type_pivot",
     "crawl_budget_tiers",
+    "cms_heavy_hitters",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured

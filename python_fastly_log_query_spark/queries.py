@@ -5864,6 +5864,69 @@ def q_crawl_budget_tiers(spark, sf):
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def _cms_bucket_sql(expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5(d.depth || ':' || {expr}), 1, 15) "
+        f"AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    L
+    + f""", keys AS (
+  SELECT path, count(*) AS exact_cnt FROM logs
+  WHERE path IS NOT NULL GROUP BY 1),
+depths AS (SELECT unnest(range({_CMS_DEPTH})) AS depth),
+ex AS (
+  SELECT d.depth AS depth, {_cms_bucket_sql('l.path')} AS bucket
+  FROM logs l CROSS JOIN depths d WHERE l.path IS NOT NULL),
+sketch AS (SELECT depth, bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+kb AS (
+  SELECT k.path, k.exact_cnt, d.depth AS depth,
+         {_cms_bucket_sql('k.path')} AS bucket
+  FROM keys k CROSS JOIN depths d),
+est AS (
+  SELECT kb.path, kb.exact_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+  FROM kb LEFT JOIN sketch s USING (depth, bucket) GROUP BY 1, 2)
+SELECT path, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM est ORDER BY exact_cnt DESC, path LIMIT 20
+""",
+)
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters over request paths (operators/
+    sketch.py): the sub-linear-state twin of ``popular_endpoints``.
+    The sketch build is one shuffle whose map-side partial aggregation
+    caps every task's shuffle write at depth*width rows regardless of
+    input size (THE mergeable-sketch property — element-wise sum is the
+    CMS merge), and the estimate join broadcasts the <=depth*width-row
+    sketch.  Buckets derive from md5, so the whole construction —
+    sketch cells, min-over-depths estimates, per-key overcounts — is
+    deterministic and carries a full DuckDB value oracle; the CMS
+    guarantee ``cms_est >= exact_cnt`` is checkable in the overcount
+    column (never negative).  Top-20 by exact count, path tiebreak.
+    Complements the HLL ranking path (``approx_distinct_ips_per_path``)
+    with the frequency-sketch half of the sketch toolbox."""
+    from .operators.sketch import cms_estimate, cms_sketch
+
+    p = _parsed(spark, sf)
+    sk = cms_sketch(p, "path", _CMS_DEPTH, _CMS_WIDTH)
+    exact = (
+        p.filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    est = cms_estimate(sk, exact, "path", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        est.withColumn("overcount", F.col("cms_est") - F.col("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("path"))
+        .limit(20)
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
