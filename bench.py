@@ -157,6 +157,7 @@ STANDALONE_QUERIES = [
     "daily_event_type_pivot",
     "crawl_budget_tiers",
     "cms_heavy_hitters",
+    "approx_quantiles_contract",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured

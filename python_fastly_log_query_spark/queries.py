@@ -5927,6 +5927,61 @@ def q_cms_heavy_hitters(spark, sf):
     )
 
 
+_AQ_ACC = 200  # GK accuracy knob: rank error <= n/accuracy per group
+
+
+@register(
+    "approx_quantiles_contract",
+    """
+SELECT true AS all_within_bounds,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS groups
+FROM events WHERE value IS NOT NULL
+""",
+)
+def q_approx_quantiles_contract(spark, sf):
+    """The fleet-scale quantile path, contract-checked (the
+    ``percentile_approx`` swap that every exact-percentile call site
+    flags): Greenwald-Khanna sketches guarantee the returned element's
+    RANK is within n/accuracy of the target rank, but the element itself
+    is engine- and merge-order-specific — so, like the HLL ranking query
+    (``approx_distinct_ips_per_path``), the registered RESULT is the
+    accuracy contract, not the sketch value.  Per event_type, p50/p95 via
+    ``percentile_approx(value, q, 200)``; the rank interval of each
+    returned value ((#strictly-below, #at-or-below]) must intersect
+    [(q-eps)n - 1, (q+eps)n + 1] (eps = 1/200, with a 1-rank absolute
+    floor for the sparse regime).  One broadcast join of the
+    group-count-sized sketch frame back over events — no second shuffle —
+    then a min-reduce to a single verifiable row."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, _AQ_ACC).alias("ap50"),
+        F.percentile_approx("value", 0.95, _AQ_ACC).alias("ap95"),
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+    st = j.groupBy("event_type").agg(
+        F.sum((F.col("value") < F.col("ap50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("ap50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("ap95")).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("ap95")).cast("long")).alias("le95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    eps = 1.0 / _AQ_ACC
+
+    def _ok(lt: str, le: str, q: float) -> F.Column:
+        lo = (q - eps) * F.col("n") - 1
+        hi = (q + eps) * F.col("n") + 1
+        return (F.col(lt) <= hi) & (F.col(le) >= lo)
+
+    return st.agg(
+        F.min(_ok("lt50", "le50", 0.5) & _ok("lt95", "le95", 0.95)).alias(
+            "all_within_bounds"
+        ),
+        F.count(F.lit(1)).alias("groups"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
