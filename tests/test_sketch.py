@@ -50,6 +50,24 @@ def test_cms_never_undercounts_and_conserves_mass(spark):
         sk.unpersist()
 
 
+def test_approx_quantiles_contract_plan_and_result(spark):
+    """The GK contract query must hold its claimed plan shape: the
+    sketch frame joins back over events as a BroadcastHashJoin (it is
+    group-count-sized), and the verdict is true on real data."""
+    from python_fastly_log_query_spark.queries import (
+        q_approx_quantiles_contract,
+    )
+
+    df = q_approx_quantiles_contract(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["all_within_bounds"] is True
+    assert rows[0]["groups"] > 0
+
+
 def test_cms_plans_partial_agg_and_broadcast_join(spark):
     df = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
         F.col("event_type").alias("k")
