@@ -5982,6 +5982,103 @@ def q_approx_quantiles_contract(spark, sf):
     )
 
 
+# ---------------------------------------------------------------- CDC
+#
+# The changelog is derived deterministically from the events table (both
+# engines rebuild the identical stream): key = first 2 hex chars of
+# md5(event_id) (256 keys, many changes each), seq = event_id (unique ->
+# latest-wins is a total order), ~1/16 of the changes are deletes.
+
+_CDC_CTE = """
+WITH chg AS (
+  SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS k,
+         event_id AS seq, ts,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 3, 1) = '0'
+              THEN 'delete' ELSE 'upsert' END AS op,
+         event_type, value
+  FROM events
+)
+"""
+
+
+def _changelog(spark: SparkSession, sf: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = F.md5(F.col("event_id").cast("string"))
+    return ev.select(
+        F.substring(h, 1, 2).alias("k"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.when(F.substring(h, 3, 1) == "0", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "cdc_latest_snapshot",
+    _CDC_CTE
+    + """
+SELECT k, max(seq) AS last_seq, CAST(count(*) AS BIGINT) AS n_changes,
+       arg_max(event_type, seq) AS event_type, arg_max(value, seq) AS value
+FROM chg GROUP BY k
+HAVING arg_max(op, seq) <> 'delete'
+""",
+)
+def q_cdc_latest_snapshot(spark, sf):
+    """CDC changelog compaction — the current snapshot a MERGE INTO
+    maintains: one row per key with the highest-seq payload, keys whose
+    latest change is a delete dropped (operators/cdc.py:
+    compact_changelog — ONE shuffle, associative max_by partials; the
+    shuffle write is bounded by keys x tasks, never changelog length).
+    Oracle: DuckDB arg_max over the identical derived changelog."""
+    from .operators.cdc import compact_changelog
+
+    return compact_changelog(
+        _changelog(spark, sf), key="k", seq="seq", payload=["event_type", "value"]
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    _CDC_CTE
+    + """
+SELECT k, seq, event_type, value,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+FROM (
+  SELECT k, seq, op, event_type, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+  FROM chg)
+WHERE op <> 'delete'
+""",
+)
+def q_cdc_scd2_history(spark, sf):
+    """SCD2 history build — one row per surviving version with its
+    validity interval [valid_from, valid_to): valid_to = the key's next
+    change (deletes close intervals but emit no version), NULL while
+    current (operators/cdc.py:scd2_history — one shuffle + lead window;
+    hot keys take the sessionization chunk-and-stitch hardening).  The
+    point-in-time lookup side of this table is operators/asof.py.
+    Oracle: the same lead window in DuckDB."""
+    from .operators.cdc import scd2_history
+
+    h = scd2_history(
+        _changelog(spark, sf), key="k", seq="seq", payload=["event_type", "value"]
+    )
+    return h.select(
+        "k",
+        "seq",
+        "event_type",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
