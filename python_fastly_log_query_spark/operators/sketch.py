@@ -96,3 +96,113 @@ def cms_estimate(
     return joined.groupBy(*others).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+# ------------------------------------------------------------------ KMV
+#
+# K-minimum-values (Bar-Yossef et al. 2002; the theta-sketch family):
+# the k smallest DISTINCT hash values of a set are a uniform sample of
+# its hash space, so D ~= (k-1) * H / h_k (H = hash-space size, h_k =
+# the kth smallest).  Unlike HLL, KMV sketches support SET OPERATIONS:
+# the union sketch is the bottom-k of the combined value lists, and the
+# fraction of union-sketch values present in both sides estimates the
+# intersection — the cross-corpus overlap question ("how many 3-gram
+# shingles do two crawl snapshots share?") answered without ever
+# shuffling either corpus's distinct set.
+#
+# Determinism: hashes are the first 10 hex chars of md5 (40 bits, so
+# every product below fits int64 and DuckDB replays the arithmetic
+# bit-for-bit); estimates use integer division only.  A deploy against
+# 10^10+ distinct items would widen to 60-bit hashes and HUGEINT/decimal
+# estimator arithmetic — the plan shape is unchanged.
+
+KMV_SPACE = 1 << 40  # 10 hex chars of md5
+
+
+def kmv_hash(col: F.Column) -> F.Column:
+    """Item -> 40-bit integer hash, identical in Spark and DuckDB
+    (``CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
+def kmv_bottom_k(hashes: DataFrame, k: int) -> DataFrame:
+    """The ``k`` smallest DISTINCT values of ``hashes.h`` — the KMV
+    sketch — with per-partition state bounded at ``k`` values.
+
+    A plain ``distinct().orderBy().limit(k)`` shuffles the FULL distinct
+    set; this runs the streaming KMV inside each partition instead (an
+    Arrow-batched fold holding at most ``k + batch`` values), so at most
+    ``partitions * k`` rows ever reach the final exact bottom-k.  The
+    partial sketches are themselves KMV sketches — merging by bottom-k
+    of the union is exactly the sketch's merge operator.
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        state = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            hs = pdf["h"].to_numpy(dtype="int64")
+            state = np.unique(np.concatenate([state, hs]))[:k]
+        yield pd.DataFrame({"h": state})
+
+    partials = hashes.select("h").mapInPandas(gen, "h long")
+    return partials.distinct().orderBy("h").limit(k)
+
+
+def _kmv_est(n_col: str, hk_col: str, k: int) -> F.Column:
+    """Distinct-count estimate from a sketch's (size, kth value) columns:
+    exact when the sketch is not full (n < k), else ``(k-1) * H div h_k``
+    — INTEGER division (Spark ``div`` == DuckDB ``//`` for positives;
+    float division + cast could round across an integer boundary)."""
+    return F.when(F.col(n_col) < k, F.col(n_col)).otherwise(
+        F.expr(f"{(k - 1) * KMV_SPACE}L div {hk_col}")
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count and OVERLAP estimates for two item sets given as
+    single-column ``h`` hash frames (see :func:`kmv_hash`): one row —
+
+    ``d_a_est, d_b_est, d_union_est, d_intersect_est, jaccard_ppm``
+
+    Union sketch = bottom-k of the two sketches' union (the KMV merge);
+    intersection = (fraction of union-sketch values present in BOTH
+    input sketches) x the union estimate (Beyer et al. 2007).  Estimates
+    are exact whenever a sketch is not full.  Everything after the two
+    :func:`kmv_bottom_k` passes runs over <= 3k rows.
+    """
+    ska = kmv_bottom_k(a, k)
+    skb = kmv_bottom_k(b, k)
+    # the two sketches are <= k rows each: their union's exact bottom-k
+    # needs no partition-local pre-fold
+    sku = ska.union(skb).distinct().orderBy("h").limit(k)
+
+    ea = ska.agg(F.count("*").alias("n_a"), F.max("h").alias("hk_a"))
+    eb = skb.agg(F.count("*").alias("n_b"), F.max("h").alias("hk_b"))
+    eu = sku.agg(F.count("*").alias("n_u"), F.max("h").alias("hk_u"))
+    rho = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    est = (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(rho)
+        .select(
+            _kmv_est("n_a", "hk_a", k).alias("d_a_est"),
+            _kmv_est("n_b", "hk_b", k).alias("d_b_est"),
+            _kmv_est("n_u", "hk_u", k).alias("d_union_est"),
+            F.col("n_both"),
+            F.col("n_u"),
+        )
+    )
+    return est.select(
+        "d_a_est",
+        "d_b_est",
+        "d_union_est",
+        F.expr("n_both * d_union_est div n_u").alias("d_intersect_est"),
+        F.expr("1000000 * n_both div n_u").alias("jaccard_ppm"),
+    )

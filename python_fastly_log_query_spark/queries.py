@@ -5982,6 +5982,72 @@ def q_approx_quantiles_contract(spark, sf):
     )
 
 
+# ---------------------------------------------------------------- KMV
+
+_KMV_K = 256
+_KMV_EST = "CASE WHEN {n} < %d THEN {n} ELSE %d // {hk} END" % (
+    _KMV_K,
+    (_KMV_K - 1) * (1 << 40),
+)
+
+_KMV_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + f""",
+ex AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+              unnest(shingles) AS s FROM sh),
+hs AS (SELECT hx, CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h FROM ex),
+ska AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE hx < 'c')
+        ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE hx >= '4')
+        ORDER BY h LIMIT {_KMV_K}),
+sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+        ORDER BY h LIMIT {_KMV_K}),
+ea AS (SELECT count(*) AS n_a, max(h) AS hk_a FROM ska),
+eb AS (SELECT count(*) AS n_b, max(h) AS hk_b FROM skb),
+eu AS (SELECT count(*) AS n_u, max(h) AS hk_u FROM sku),
+rho AS (SELECT count(*) AS n_both FROM sku
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+est AS (SELECT {_KMV_EST.format(n='n_a', hk='hk_a')} AS d_a_est,
+               {_KMV_EST.format(n='n_b', hk='hk_b')} AS d_b_est,
+               {_KMV_EST.format(n='n_u', hk='hk_u')} AS d_union_est,
+               n_both, n_u
+        FROM ea, eb, eu, rho)
+SELECT d_a_est, d_b_est, d_union_est,
+       n_both * d_union_est // n_u AS d_intersect_est,
+       1000000 * n_both // n_u AS jaccard_ppm
+FROM est
+"""
+)
+
+
+@register("kmv_shingle_overlap", _KMV_ORACLE)
+def q_kmv_shingle_overlap(spark, sf):
+    """Cross-corpus distinct/overlap estimation via K-minimum-values
+    sketches (operators/sketch.py:kmv_overlap): how many distinct 3-gram
+    shingles do two overlapping crawl snapshots share?  KMV supports the
+    set operations HLL can't: union = bottom-k merge, intersection =
+    union-sketch membership fraction — nothing bigger than k rows per
+    partition ever shuffles (the partition-local Arrow fold IS the
+    mergeable sketch; a full distinct of either side never materializes).
+    Snapshots A/B are deterministic overlapping doc slices (md5 hex of
+    doc_id < 'c' / >= '4': 12/16 each, 8/16 shared).  Oracle: DuckDB
+    replays hashing, bottom-k, merge, and the integer estimators
+    bit-for-bit; accuracy vs exact counts is pinned in tests/test_sketch.
+    """
+    from .operators.dedup import word_shingles
+    from .operators.sketch import kmv_hash, kmv_overlap
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base = docs.select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hx"),
+        F.explode(word_shingles(F.col("text"))).alias("s"),
+    ).select("hx", kmv_hash(F.col("s")).alias("h"))
+    a = base.filter(F.col("hx") < "c").select("h")
+    b = base.filter(F.col("hx") >= "4").select("h")
+    return kmv_overlap(a, b, k=_KMV_K)
+
+
 # ---------------------------------------------------------------- CDC
 #
 # The changelog is derived deterministically from the events table (both

@@ -81,3 +81,107 @@ def test_cms_plans_partial_agg_and_broadcast_join(spark):
     plan = _plan(est)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------------ KMV
+
+
+def test_kmv_bottom_k_is_distinct_bottom_k(spark):
+    """The partition-local Arrow fold + final merge must equal the exact
+    distinct bottom-k, with duplicates both within and across
+    partitions."""
+    from python_fastly_log_query_spark.operators.sketch import kmv_bottom_k
+
+    vals = [(int(v),) for v in [9, 3, 3, 7, 1, 1, 1, 8, 5, 5, 2, 9, 4, 6, 2]]
+    df = spark.createDataFrame(vals, ["h"]).repartition(5)
+    got = [r["h"] for r in kmv_bottom_k(df, 4).collect()]
+    assert got == [1, 2, 3, 4]
+    # not-full sketch returns the whole distinct set, sorted
+    got_all = [r["h"] for r in kmv_bottom_k(df, 100).collect()]
+    assert got_all == sorted({v for (v,) in vals})
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """Estimator accuracy on sets with KNOWN distinct counts and overlap:
+    A = [0, 60k), B = [30k, 90k) -> union 90k, intersection 30k.  With
+    k=256 the expected relative error is ~1/sqrt(k) ~= 6%; assert 20%."""
+    from python_fastly_log_query_spark.operators.sketch import (
+        kmv_hash,
+        kmv_overlap,
+    )
+
+    a = spark.range(0, 60_000).select(kmv_hash(F.col("id").cast("string")).alias("h"))
+    b = spark.range(30_000, 90_000).select(
+        kmv_hash(F.col("id").cast("string")).alias("h")
+    )
+    (row,) = kmv_overlap(a, b, k=256).collect()
+    assert abs(row["d_a_est"] - 60_000) / 60_000 < 0.20
+    assert abs(row["d_b_est"] - 60_000) / 60_000 < 0.20
+    assert abs(row["d_union_est"] - 90_000) / 90_000 < 0.20
+    assert abs(row["d_intersect_est"] - 30_000) / 30_000 < 0.25
+    assert abs(row["jaccard_ppm"] - 333_333) / 333_333 < 0.25
+
+
+def test_kmv_registered_query_accuracy(spark):
+    """The registered kmv_shingle_overlap estimates stay within 15% of
+    the exact distinct-shingle counts at the parity scale (exact values
+    computed in-engine — the corpus vocabulary saturates, so counts are
+    stable across scales)."""
+    from python_fastly_log_query_spark.operators.dedup import word_shingles
+    from python_fastly_log_query_spark.queries import _REGISTRY
+
+    (row,) = _REGISTRY["kmv_shingle_overlap"][0](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base = docs.select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hx"),
+        F.explode(word_shingles(F.col("text"))).alias("s"),
+    )
+    da = base.filter(F.col("hx") < "c").select("s").distinct().count()
+    db = base.filter(F.col("hx") >= "4").select("s").distinct().count()
+    du = base.select("s").distinct().count()
+    di = (
+        base.filter(F.col("hx") < "c")
+        .select("s")
+        .intersect(base.filter(F.col("hx") >= "4").select("s"))
+        .count()
+    )
+    assert abs(row["d_a_est"] - da) / da < 0.15
+    assert abs(row["d_b_est"] - db) / db < 0.15
+    assert abs(row["d_union_est"] - du) / du < 0.15
+    assert abs(row["d_intersect_est"] - di) / di < 0.15
+
+
+def test_kmv_partition_state_bounded(spark):
+    """Each partition emits at most k rows into the final merge — the
+    property that keeps the full distinct set off the wire."""
+    from python_fastly_log_query_spark.operators.sketch import kmv_bottom_k
+
+    df = spark.range(0, 50_000).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h")
+    ).repartition(8)
+    plan = kmv_bottom_k(df, 64)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # replicate the partial stage and count its per-partition output
+    from pyspark.sql.functions import spark_partition_id
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        state = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            state = np.unique(
+                np.concatenate([state, pdf["h"].to_numpy(dtype="int64")])
+            )[:64]
+        yield pd.DataFrame({"h": state})
+
+    per_part = (
+        df.select("h").mapInPandas(fold, "h long")
+        .groupBy(spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert per_part <= 64
