@@ -1630,3 +1630,146 @@ def rp_sql_parts(out_dim: int = 8, dim: int = 64,
             f"[{lits}]::DOUBLE[]) AS BIGINT)"
         )
     return qcte, exprs
+
+
+# --------------------------------------------------- k-center diversity
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+) -> tuple[list[dict], DataFrame]:
+    """Greedy k-center (farthest-point traversal, Gonzalez 1985) over
+    quantized embeddings — DIVERSITY sampling for curation: the k
+    selected vectors 2-approximate the optimal covering radius, so they
+    are the maximally-spread prototypes (eval-set seeding, coreset
+    pivots, "show me the corpus's extremes" audits) that random or
+    cluster-centroid sampling cannot provide.
+
+    Deterministic end to end: seed = the lowest-``id_col`` vector; each
+    round picks the vector maximizing its distance to the nearest
+    already-chosen center, ties broken by the HIGHEST id (a total order:
+    ``max(struct(dist_sq, id))`` == SQL ``ORDER BY md DESC, id DESC
+    LIMIT 1``); distances are exact integer squared L2 in quantized
+    space (the kmeans contract — associative, partition-independent).
+
+    Per round: one map-only numpy assignment pass against the <= k
+    plan-literal centers (:func:`_km_assign_df`) + a 1-row argmax
+    aggregate + a 1-row qv fetch — k-1 tiny jobs total, nothing ever
+    shuffles more than the aggregate's partials.  Returns
+    ``(centers, base)``: centers as ``{sel_rank, id, radius_q, qv}``
+    dicts in selection order (``radius_q`` = the selected vector's
+    distance to its nearest prior center — the coverage radius
+    decreases monotonically), ``base`` the persisted quantized frame
+    for a follow-up assignment pass.
+    """
+    from .dedup import selfjoin_ready
+
+    base = selfjoin_ready(
+        emb.select(id_col, quantize(F.col("embedding"), scale).alias("_qv"))
+    )
+    seed = base.orderBy(id_col).limit(1).collect()[0]
+    centers = [
+        {"sel_rank": 0, "id": seed[id_col], "radius_q": 0, "qv": list(seed["_qv"])}
+    ]
+    for r in range(1, k):
+        asg = _km_assign_df(base, [c["qv"] for c in centers], "_qv", id_col)
+        far = asg.agg(
+            F.max(F.struct(F.col("dist_sq"), F.col(id_col))).alias("m")
+        ).collect()[0]["m"]
+        fid = far[id_col]
+        qv = list(base.filter(F.col(id_col) == fid).collect()[0]["_qv"])
+        centers.append(
+            {"sel_rank": r, "id": fid, "radius_q": int(far["dist_sq"]), "qv": qv}
+        )
+    return centers, base
+
+
+def kcenter_table(
+    spark,
+    emb: DataFrame,
+    k: int = 8,
+    scale: int = KMEANS_SCALE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`kcenter_select` + the final assignment pass as one frame:
+    ``(sel_rank, id, radius_q, n_assigned)`` — every vector assigned to
+    its nearest selected center (ties to the lowest selection rank,
+    matching the oracle's ``min(dist * k + rank)``)."""
+    centers, base = kcenter_select(emb, k, scale, id_col)
+    asg = _km_assign_df(base, [c["qv"] for c in centers], "_qv", id_col)
+    counts = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_assigned"))
+    cdf = spark.createDataFrame(
+        [(c["sel_rank"], c["id"], c["radius_q"]) for c in centers],
+        f"sel_rank int, {id_col} long, radius_q long",
+    )
+    return cdf.join(
+        F.broadcast(counts), cdf.sel_rank == counts.cell, "left"
+    ).select(
+        "sel_rank",
+        id_col,
+        "radius_q",
+        F.coalesce(F.col("n_assigned"), F.lit(0)).cast("long").alias("n_assigned"),
+    )
+
+
+def kcenter_sql(
+    k: int = 8,
+    scale: int = KMEANS_SCALE,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """Unrolled-fixpoint DuckDB oracle for :func:`kcenter_table` (the
+    kmeans_sql pattern): one (argmax, re-min) CTE pair per selection
+    round, then the tie-to-lowest-rank assignment and the per-center
+    count rollup."""
+    q = (
+        f"q AS (SELECT {id_col}, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv "
+        f"FROM {table})"
+    )
+    dist = (
+        "CAST(list_dot_product(m.qv, m.qv) - 2 * list_dot_product(m.qv, s.qv) "
+        "+ list_dot_product(s.qv, s.qv) AS BIGINT)"
+    )
+    ctes = [
+        q,
+        f"s0 AS (SELECT {id_col}, qv FROM q ORDER BY {id_col} LIMIT 1)",
+        f"m0 AS (SELECT m.{id_col}, m.qv, {dist} AS md FROM q m, s0 s)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"s{i} AS (SELECT {id_col}, qv, md FROM m{i - 1} "
+            f"ORDER BY md DESC, {id_col} DESC LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"m{i} AS (SELECT m.{id_col}, m.qv, LEAST(m.md, {dist}) AS md "
+                f"FROM m{i - 1} m, s{i} s)"
+            )
+    cents = " UNION ALL ".join(
+        [f"SELECT 0 AS rnk, {id_col}, qv, CAST(0 AS BIGINT) AS radius_q FROM s0"]
+        + [
+            f"SELECT {i} AS rnk, {id_col}, qv, md AS radius_q FROM s{i}"
+            for i in range(1, k)
+        ]
+    )
+    ctes.append(f"cents AS ({cents})")
+    adist = (
+        "CAST(list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.qv) "
+        "+ list_dot_product(c.qv, c.qv) AS BIGINT)"
+    )
+    ctes.append(
+        f"asg AS (SELECT q.{id_col}, "
+        f"CAST(min({adist} * {k} + c.rnk) % {k} AS INTEGER) AS cell "
+        f"FROM q CROSS JOIN cents c GROUP BY q.{id_col})"
+    )
+    final = (
+        f"SELECT c.rnk AS sel_rank, c.{id_col}, c.radius_q, "
+        f"CAST(count(a.{id_col}) AS BIGINT) AS n_assigned "
+        f"FROM cents c LEFT JOIN asg a ON a.cell = c.rnk "
+        f"GROUP BY c.rnk, c.{id_col}, c.radius_q"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -6048,6 +6048,30 @@ def q_kmv_shingle_overlap(spark, sf):
     return kmv_overlap(a, b, k=_KMV_K)
 
 
+# ----------------------------------------------------- k-center diversity
+
+
+def _kcenter_oracle() -> str:
+    from .operators.similarity import kcenter_sql
+
+    return kcenter_sql(k=8)
+
+
+@register("kcenter_diverse_sample", _kcenter_oracle())
+def q_kcenter_diverse_sample(spark, sf):
+    """Greedy k-center diversity sampling (similarity.py:kcenter_table —
+    farthest-point traversal, Gonzalez 1985's 2-approximation): the 8
+    maximally-spread prototype vectors with their coverage radii and
+    assignment counts — the diversity-sampling / coreset-pivot stage a
+    curation pipeline runs where random sampling over-represents dense
+    regions.  Integer-exact in quantized space (the kmeans contract), so
+    the whole traversal unrolls into a DuckDB CTE fixpoint oracle."""
+    from .operators.similarity import kcenter_table
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kcenter_table(spark, emb, k=8)
+
+
 # ---------------------------------------------------------------- CDC
 #
 # The changelog is derived deterministically from the events table (both
