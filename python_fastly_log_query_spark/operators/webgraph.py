@@ -343,3 +343,120 @@ def link_reciprocity(edges: DataFrame) -> DataFrame:
             "reciprocated * 1000000L div out_targets AS reciprocity_ppm",
         )
     )
+
+
+# ------------------------------------------------------------------ HITS
+
+# Hub/authority scores use a smaller fixed-point scale than PageRank:
+# un-damped HITS sums are products of scores and edge weights, so with
+# scores max-normalized to ~HITS_SCALE each round the per-node incoming
+# sum stays < 2^63 as long as a node's incoming edge weight is < ~4e12
+# — far beyond any real host graph (shard the aggregate if a deploy
+# crosses it).
+HITS_SCALE = 10**6
+
+
+def hits(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over a weighted (src, dst, w)
+    edge list: returns ``(host, hub_score, auth_score)`` scaled to
+    ~``HITS_SCALE``.
+
+    Classic HITS normalizes by the L2 norm — a square root, which no
+    integer replay survives.  This variant max-normalizes instead:
+    after each half-round, scores divide by ``greatest(1, max(raw) div
+    HITS_SCALE)``, keeping the maximum near HITS_SCALE.  Ranking is
+    unchanged (normalization in HITS only prevents overflow; the
+    stationary direction is the same), every op is associative integer
+    arithmetic, and the whole loop unrolls into :func:`hits_sql`.
+
+    Plan per half-round: ONE join of scores onto the edge list + ONE
+    aggregate on the opposite endpoint + a broadcast 1-row max — the
+    same shape as a PageRank round, shuffling only score rows.  The
+    normalizing max rides the plan as a broadcast scalar (no driver
+    collect), so the whole iteration is one lazy plan, checkpointed
+    per round to stay shallow.
+    """
+    one = F.lit(1).cast("long")
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.localCheckpoint()
+    h = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    a = None
+    for _ in range(iterations):
+        ar = (
+            e.join(h.withColumnRenamed("host", "src"), "src")
+            .select("dst", (F.col("h") * F.col("w")).alias("x"))
+            .groupBy("dst")
+            .agg(F.sum("x").alias("r"))
+        )
+        sa = ar.agg(
+            F.greatest(
+                one, F.expr(f"coalesce(max(r), 0L) div {HITS_SCALE}L")
+            ).alias("s")
+        )
+        a = (
+            nodes.join(ar.withColumnRenamed("dst", "host"), "host", "left")
+            .crossJoin(F.broadcast(sa))
+            .select("host", F.expr("coalesce(r, 0L) div s").alias("a"))
+        )
+        hr = (
+            e.join(a.withColumnRenamed("host", "dst"), "dst")
+            .select("src", (F.col("a") * F.col("w")).alias("x"))
+            .groupBy("src")
+            .agg(F.sum("x").alias("r"))
+        )
+        sh = hr.agg(
+            F.greatest(
+                one, F.expr(f"coalesce(max(r), 0L) div {HITS_SCALE}L")
+            ).alias("s")
+        )
+        h = (
+            nodes.join(hr.withColumnRenamed("src", "host"), "host", "left")
+            .crossJoin(F.broadcast(sh))
+            .select("host", F.expr("coalesce(r, 0L) div s").alias("h"))
+        )
+        h = h.localCheckpoint(eager=False)
+        a = a.localCheckpoint(eager=False)
+    return h.join(a, "host").select(
+        "host",
+        F.col("h").alias("hub_score"),
+        F.col("a").alias("auth_score"),
+    )
+
+
+def hits_sql(iterations: int = 3, edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) unrolling :func:`hits` over a
+    ``{edges_cte}(src, dst, w)`` relation — kept in lockstep with the
+    DataFrame loop (including the greatest(1, max div SCALE) integer
+    max-normalization and floor-division rounding)."""
+    parts = [
+        f"nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        f"h0 AS (SELECT host, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+ar{k} AS (
+  SELECT e.dst AS host, CAST(sum(p.h * e.w) AS BIGINT) AS r
+  FROM {edges_cte} e JOIN h{k - 1} p ON p.host = e.src GROUP BY 1),
+sa{k} AS (SELECT greatest(1, coalesce(max(r), 0) // {HITS_SCALE}) AS s FROM ar{k}),
+a{k} AS (
+  SELECT n.host, CAST(coalesce(ar.r, 0) // sa{k}.s AS BIGINT) AS a
+  FROM nodes n LEFT JOIN ar{k} ar ON ar.host = n.host, sa{k}),
+hr{k} AS (
+  SELECT e.src AS host, CAST(sum(p.a * e.w) AS BIGINT) AS r
+  FROM {edges_cte} e JOIN a{k} p ON p.host = e.dst GROUP BY 1),
+sh{k} AS (SELECT greatest(1, coalesce(max(r), 0) // {HITS_SCALE}) AS s FROM hr{k}),
+h{k} AS (
+  SELECT n.host, CAST(coalesce(hr.r, 0) // sh{k}.s AS BIGINT) AS h
+  FROM nodes n LEFT JOIN hr{k} hr ON hr.host = n.host, sh{k})""")
+    final = (
+        f"SELECT h{iterations}.host, h{iterations}.h AS hub_score, "
+        f"a{iterations}.a AS auth_score "
+        f"FROM h{iterations} JOIN a{iterations} USING (host)"
+    )
+    return ",".join(parts), final

@@ -6048,6 +6048,34 @@ def q_kmv_shingle_overlap(spark, sf):
     return kmv_overlap(a, b, k=_KMV_K)
 
 
+# ---------------------------------------------------------------- HITS
+
+
+def _wg_hits_oracle() -> str:
+    from .operators.webgraph import hits_sql
+
+    ctes, final = hits_sql(3)
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_hits", _wg_hits_oracle())
+def q_host_hits(spark, sf):
+    """HITS hub/authority scores over the extracted host graph
+    (operators/webgraph.py:hits, 3 rounds, integer max-normalization):
+    the directional complement to host_pagerank — authorities are the
+    pages the web points AT (quality prior), hubs the link pages that
+    point at authorities (directory/spam-farm signal; a high-hub
+    low-auth host is the classic link-farm shape).  Each half-round is
+    one join + one aggregate + a broadcast 1-row max, all associative
+    integer ops, so the 3-round loop unrolls into the SQL oracle
+    bit-for-bit."""
+    from .operators.webgraph import extract_outlinks, hits
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = extract_outlinks(_wg_pages_spark(docs))
+    return hits(edges, iterations=3)
+
+
 # ----------------------------------------------------- k-center diversity
 
 

@@ -180,3 +180,61 @@ def test_label_propagation_isolated_pair_keeps_min_label(spark):
     assert got1 == {"a.com": "b.com", "b.com": "a.com"}
     got2 = {r.host: r.label for r in label_propagation(df, iterations=2).collect()}
     assert got2 == {"a.com": "a.com", "b.com": "b.com"}
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _py_hits(edges, iterations):
+    from python_fastly_log_query_spark.operators.webgraph import HITS_SCALE
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    h = {v: HITS_SCALE for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        ar = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            ar[d] += h[s] * w
+        sa = max(1, max(ar.values(), default=0) // HITS_SCALE)
+        a = {v: ar[v] // sa for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            hr[s] += a[d] * w
+        sh = max(1, max(hr.values(), default=0) // HITS_SCALE)
+        h = {v: hr[v] // sh for v in nodes}
+    return h, a
+
+
+def test_hits_matches_python_replica(spark):
+    import random
+
+    from python_fastly_log_query_spark.operators.webgraph import hits
+
+    rng = random.Random(7)
+    hosts = [f"h{i}" for i in range(18)]
+    uniq = {}
+    for s in hosts:
+        for d in rng.sample(hosts, 4):
+            uniq[(s, d)] = rng.randint(1, 9)
+    edges = [(s, d, w) for (s, d), w in uniq.items()]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.host: (r.hub_score, r.auth_score) for r in hits(df, 3).collect()}
+    ph, pa = _py_hits(edges, 3)
+    assert got == {v: (ph[v], pa[v]) for v in ph}
+
+
+def test_hits_partitioning_invariant_and_hub_shape(spark):
+    from python_fastly_log_query_spark.operators.webgraph import hits
+
+    # star: 'hub' points at everything, nothing points back
+    edges = [("hub", f"t{i}", 1) for i in range(6)] + [("t0", "t1", 1)]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+    r1 = {r.host: (r.hub_score, r.auth_score) for r in hits(df1, 3).collect()}
+    r8 = {
+        r.host: (r.hub_score, r.auth_score)
+        for r in hits(df1.repartition(8), 3).collect()
+    }
+    assert r1 == r8  # associative integer ops: bit-identical anywhere
+    # the pure hub has the top hub score and zero authority
+    assert r1["hub"][0] == max(v[0] for v in r1.values())
+    assert r1["hub"][1] == 0
