@@ -1628,3 +1628,102 @@ def pmi_top_bigrams(
     return scored.orderBy(
         F.desc("score"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+# ----------------------------------------------- PPS systematic sampling
+
+
+def pps_systematic_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str = "n_chars",
+    n_ranges: int = 1024,
+    id_col: str = "doc_id",
+    salt: str = "pps",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of ~``n`` docs:
+    lay every document's weight end to end along the deterministic
+    salted-hash global order (the :func:`shard_plan` shuffle — reruns
+    and cluster-size changes reproduce the identical order), then take
+    every ``step = total_weight div n``-th point of the line starting at
+    ``phase = step div 2``; a document is sampled once per grid point
+    its weight interval covers.
+
+    This is the curation sampler that "pick n docs uniformly" gets
+    wrong: inclusion probability is exactly proportional to weight
+    (token count, quality score, source boost) with sample size FIXED
+    at n or n+1 — no rejection pass, no rand() nondeterminism, no
+    per-group reservoir state.  A doc heavier than ``step`` is hit
+    multiple times; ``n_hits`` is its multiplicity (the
+    Horvitz-Thompson replication count — keep it for unbiased
+    reweighting).  Rows with weight <= 0 are excluded (they have zero
+    inclusion probability by definition).
+
+    Scale shape: the same two-phase distributed prefix sum as
+    :func:`shard_plan` (one corpus shuffle, window sorts bounded by
+    corpus/n_ranges, a broadcast ``n_ranges``-row offsets frame and a
+    broadcast 1-row total) — never a single-partition global sort.
+    All arithmetic is non-negative integer div, identical in DuckDB.
+    """
+    if n_ranges & (n_ranges - 1) or n_ranges <= 0:
+        raise ValueError(f"n_ranges must be a power of two, got {n_ranges}")
+    shift = 48 - int(math.log2(n_ranges))
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = (
+        docs.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            key.alias("key"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .withColumn("rid", F.shiftright(F.col("key"), shift))
+    )
+    w_in = (
+        Window.partitionBy("rid")
+        .orderBy("key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_r = Window.orderBy("rid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        base.groupBy("rid")
+        .agg(F.sum("w").alias("_rw"))
+        .select("rid", (F.sum("_rw").over(w_r) - F.col("_rw")).alias("_off"))
+    )
+    tot = base.agg(
+        F.expr(f"sum(w) div {n}L").alias("step"),
+        F.expr(f"(sum(w) div {n}L) div 2L").alias("phase"),
+    )
+    cum = (
+        base.withColumn("_cum_in", F.sum("w").over(w_in))
+        .join(F.broadcast(offs), "rid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            *carry,
+            "w",
+            (F.col("_cum_in") + F.col("_off")).alias("cum"),
+            "step",
+            "phase",
+        )
+    )
+    # grid points phase + m*step covered by (cum - w, cum]; the +step
+    # keeps every numerator non-negative (Spark div truncates toward
+    # zero, DuckDB // floors — they agree only at >= 0)
+    hits = F.expr("(cum - phase + step) div step - (cum - w - phase + step) div step")
+    return (
+        cum.withColumn("n_hits", hits.cast("long"))
+        .filter(F.col("n_hits") >= 1)
+        .select(id_col, *carry, "w", "n_hits")
+    )

@@ -6048,6 +6048,48 @@ def q_kmv_shingle_overlap(spark, sf):
     return kmv_overlap(a, b, k=_KMV_K)
 
 
+# -------------------------------------------------------- PPS sampling
+
+_PPS_N = 200
+
+_PPS_ORACLE = f"""
+WITH b AS (SELECT doc_id, source,
+        CAST('0x' || substr(md5('pps-' || CAST(doc_id AS VARCHAR)), 1, 12)
+             AS BIGINT) AS key,
+        CAST(n_chars AS BIGINT) AS w
+      FROM documents WHERE n_chars > 0),
+c AS (SELECT doc_id, source, w,
+        sum(w) OVER (ORDER BY key, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM b),
+p AS (SELECT sum(w) // {_PPS_N} AS step,
+             (sum(w) // {_PPS_N}) // 2 AS phase FROM b)
+SELECT doc_id, source, w,
+       CAST((cum - phase + step) // step
+            - (cum - w - phase + step) // step AS BIGINT) AS n_hits
+FROM c, p
+WHERE (cum - phase + step) // step - (cum - w - phase + step) // step >= 1
+"""
+
+
+@register("pps_weighted_sample", _PPS_ORACLE)
+def q_pps_weighted_sample(spark, sf):
+    """Probability-proportional-to-size systematic sampling
+    (operators/corpus.py:pps_systematic_sample): ~200 docs drawn with
+    inclusion probability exactly proportional to n_chars along the
+    deterministic salted-hash global order — fixed sample size, no
+    rand(), no rejection, Horvitz-Thompson multiplicities kept.  The
+    curation sampler behind weighted corpus mixes ("sample 1B tokens
+    with source boosts").  Plan: the shard_plan two-phase prefix sum —
+    one corpus shuffle, bounded window sorts, broadcast offsets + 1-row
+    total.  Oracle: one DuckDB global-window cumsum replaying the same
+    integer grid arithmetic."""
+    from .operators.corpus import pps_systematic_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pps_systematic_sample(docs, n=_PPS_N, carry=("source",))
+
+
 # ---------------------------------------------------------------- HITS
 
 

@@ -4,6 +4,8 @@ salted id hash — stable across runs and under corpus growth."""
 
 from pyspark.sql import functions as F
 
+from conftest import SF_SMALL
+
 from python_fastly_log_query_spark.operators.sampling import (
     capped_per_group,
     hash_sample,
@@ -121,3 +123,55 @@ def test_mixture_resample_deterministic_and_near_target(spark):
         # hash sampling concentrates near the target (4-token docs,
         # ~150-250 kept rows: allow generous binomial slack)
         assert 0.5 * share <= row["sampled_tokens"] <= 1.5 * share
+
+
+# ------------------------------------------------- PPS systematic sample
+
+
+def test_pps_sample_size_and_multiplicity(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    # 1000 docs, weight 10 each + one whale of weight 5000:
+    # total = 15000, n = 30 -> step = 500; the whale covers 10 grid pts
+    rows = [(i, 10) for i in range(1000)] + [(5000, 5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pps_systematic_sample(docs, n=30).collect()
+    hits = {r["doc_id"]: r["n_hits"] for r in out}
+    total_hits = sum(hits.values())
+    assert total_hits in (30, 31)  # fixed size by construction
+    assert hits[5000] == 10  # multiplicity = weight div step exactly
+    # every other sampled doc hit once (w=10 << step=500)
+    assert all(v == 1 for k, v in hits.items() if k != 5000)
+
+
+def test_pps_heavy_doc_always_included_and_zero_excluded(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    rows = [(i, 5) for i in range(200)] + [(900, 600), (901, 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {r["doc_id"]: r["n_hits"] for r in
+           pps_systematic_sample(docs, n=4).collect()}
+    # total=1600, step=400: doc 900 (w=600 >= step) MUST be sampled
+    assert out.get(900, 0) >= 1
+    assert 901 not in out  # zero weight -> zero inclusion probability
+
+
+def test_pps_partitioning_invariant(spark):
+    from python_fastly_log_query_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    a = {
+        (r["doc_id"], r["n_hits"])
+        for r in pps_systematic_sample(docs, n=50).collect()
+    }
+    b = {
+        (r["doc_id"], r["n_hits"])
+        for r in pps_systematic_sample(docs.repartition(16), n=50).collect()
+    }
+    assert a == b and len(a) >= 50
