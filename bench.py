@@ -158,6 +158,12 @@ STANDALONE_QUERIES = [
     "crawl_budget_tiers",
     "cms_heavy_hitters",
     "approx_quantiles_contract",
+    "kmv_shingle_overlap",
+    "host_hits",
+    "kcenter_diverse_sample",
+    "pps_weighted_sample",
+    "cdc_latest_snapshot",
+    "cdc_scd2_history",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -221,6 +227,9 @@ SF1_REUSE = [
     "embedding_kmeans",
     "embedding_ivf_learned_topk",
     "bm25_search_topk",
+    "kmv_shingle_overlap",
+    "pps_weighted_sample",
+    "cdc_latest_snapshot",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (

@@ -843,3 +843,51 @@ def test_pivot_single_aggregate_no_discovery_scan(spark):
     # Spark's standard two-phase pivot: (day, type) partials, then the
     # day-keyed widening aggregate — two Exchanges, no discovery job
     assert _nodes(plan, "Exchange") == 2
+
+
+def test_cdc_compact_one_exchange_partial_max_by(spark):
+    """CDC compaction (round 4): one shuffle keyed by the changelog key;
+    max_by partials run map-side so the shuffle is keys x tasks."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["cdc_latest_snapshot"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert _nodes(plan, "Exchange") == 1
+    assert _nodes(plan, "Window") == 0
+    assert "partial_max_by" in plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_kmv_partial_stage_before_any_exchange(spark):
+    """KMV (round 4): the bounded Arrow fold runs BEFORE any exchange —
+    per-partition sketches are what shuffles, never raw hashes."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["kmv_shingle_overlap"](spark, SF_SMALL)
+    plan = _plan(df)
+    # two MapInPandas folds (side A, side B), each upstream of its
+    # distinct's exchange
+    assert plan.count("MapInPandas") >= 2
+    a = plan.find("MapInPandas")
+    assert a != -1 and "Exchange" in plan  # folds exist; merge exchanges tiny
+
+
+def test_pps_sample_windows_are_rid_partitioned(spark):
+    """PPS sampling (round 4): the corpus-sized window is partitioned by
+    rid (bounded sort); only the n_ranges-row offsets frame uses the
+    single-partition window, and the total rides a broadcast."""
+    from python_fastly_log_query_spark.operators.corpus import (
+        pps_systematic_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(pps_systematic_sample(docs, n=50))
+    # offsets frame AND the 1-row total both ride broadcasts
+    assert _nodes(plan, "BroadcastExchange") == 2
+    # the corpus cumsum window is rid-partitioned (bounded sort) ...
+    assert "windowspecdefinition(rid#" in plan
+    # ... and only the offsets rollup (aggregate output) runs the
+    # single-partition window (spec with no partition key: starts at
+    # the rid ORDER column directly)
+    assert "windowspecdefinition(rid#" in plan
+    assert "Python" not in plan and "Arrow" not in plan
