@@ -460,3 +460,88 @@ h{k} AS (
         f"FROM h{iterations} JOIN a{iterations} USING (host)"
     )
     return ",".join(parts), final
+
+
+# ------------------------------------------------------------------- BFS
+
+# unreachable sentinel: min() over integers needs a total order, and a
+# sentinel avoids engine-specific NULL-in-aggregate corner cases; any
+# value > max_depth works
+BFS_INF = 32767
+
+
+def bfs_depths(
+    edges: DataFrame, seeds: list[str], max_depth: int = 4
+) -> DataFrame:
+    """Breadth-first crawl depth from a seed set over the (src, dst, w)
+    host graph: ``(host, depth)`` where depth is the minimum number of
+    link hops from any seed (0 = seed), capped at ``max_depth``; hosts
+    not reached within the cap carry ``BFS_INF``.
+
+    This is the frontier-planning signal a crawl scheduler tiers by
+    ("seed-adjacent first") and the link-distance feature quality
+    pipelines use (spam drifts far from trusted seeds — the TrustRank
+    idea with plain hop distance).
+
+    Per round: ONE join of current depths onto edge sources and one
+    min-aggregate on the destination — identical shuffle shape to a
+    PageRank round; ``max_depth`` rounds unroll into :func:`bfs_sql`.
+    min() is associative and the round count is fixed (not
+    convergence-tested), so the result is bit-identical under any
+    partitioning and needs no driver-side convergence check.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.localCheckpoint()
+    seed_col = F.col("host").isin(seeds)
+    d = nodes.select(
+        "host",
+        F.when(seed_col, F.lit(0)).otherwise(F.lit(BFS_INF)).cast("int").alias("depth"),
+    )
+    for _ in range(max_depth):
+        reach = (
+            e.join(d.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), (F.col("depth") + 1).alias("nd"))
+            .groupBy("host")
+            .agg(F.min("nd").alias("nd"))
+        )
+        d = (
+            d.join(reach, "host", "left")
+            .select(
+                "host",
+                F.least(F.col("depth"), F.coalesce(F.col("nd"), F.lit(BFS_INF)))
+                .cast("int")
+                .alias("depth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return d
+
+
+def bfs_sql(
+    seeds: list[str], max_depth: int = 4, edges_cte: str = "edges"
+) -> tuple[str, str]:
+    """(CTE chain, final select) unrolling :func:`bfs_depths` — one
+    (reach, relax) CTE pair per round."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    parts = [
+        f"nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        f"d0 AS (SELECT host, CASE WHEN host IN ({seed_list}) THEN 0 "
+        f"ELSE {BFS_INF} END AS depth FROM nodes)",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(f"""
+r{k} AS (
+  SELECT e.dst AS host, CAST(min(p.depth + 1) AS INTEGER) AS nd
+  FROM {edges_cte} e JOIN d{k - 1} p ON p.host = e.src GROUP BY 1),
+d{k} AS (
+  SELECT n.host,
+         CAST(least(p.depth, coalesce(r.nd, {BFS_INF})) AS INTEGER) AS depth
+  FROM d{k - 1} p JOIN nodes n USING (host)
+  LEFT JOIN r{k} r ON r.host = n.host)""")
+    return ",".join(parts), f"SELECT host, depth FROM d{max_depth}"

@@ -6118,6 +6118,32 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ----------------------------------------------------------------- BFS
+
+
+def _wg_bfs_oracle() -> str:
+    from .operators.webgraph import bfs_sql
+
+    ctes, final = bfs_sql(["site0.com"], max_depth=4)
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_crawl_depths", _wg_bfs_oracle())
+def q_host_crawl_depths(spark, sf):
+    """BFS link-hop distance from the trusted seed set over the host
+    graph (operators/webgraph.py:bfs_depths, 4 unrolled rounds): the
+    frontier-tiering signal a crawl scheduler prioritizes by and the
+    TrustRank-style distance feature (spam drifts far from seeds).
+    Each round is one join + one min-aggregate — the PageRank shuffle
+    shape — with a fixed round count and associative min, so the result
+    is partition-independent and the oracle unrolls it exactly."""
+    from .operators.webgraph import bfs_depths, extract_outlinks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = extract_outlinks(_wg_pages_spark(docs))
+    return bfs_depths(edges, ["site0.com"], max_depth=4)
+
+
 # ----------------------------------------------------- k-center diversity
 
 

@@ -238,3 +238,48 @@ def test_hits_partitioning_invariant_and_hub_shape(spark):
     # the pure hub has the top hub score and zero authority
     assert r1["hub"][0] == max(v[0] for v in r1.values())
     assert r1["hub"][1] == 0
+
+
+# ------------------------------------------------------------------- BFS
+
+
+def test_bfs_depths_matches_python_replica(spark):
+    import random
+
+    from python_fastly_log_query_spark.operators.webgraph import (
+        BFS_INF,
+        bfs_depths,
+    )
+
+    rng = random.Random(3)
+    hosts = [f"h{i}" for i in range(16)]
+    uniq = {}
+    for s in hosts[:12]:  # leave some hosts link-target-only / isolated
+        for d in rng.sample(hosts, 3):
+            uniq[(s, d)] = 1
+    edges = [(s, d, w) for (s, d), w in uniq.items()]
+    seeds, depth = ["h0", "h5"], 3
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.host: r.depth for r in bfs_depths(df, seeds, depth).collect()}
+
+    # plain-Python BFS capped at `depth`
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    want = {v: (0 if v in seeds else BFS_INF) for v in nodes}
+    for _ in range(depth):
+        nxt = dict(want)
+        for s, d, _ in edges:
+            nxt[d] = min(nxt[d], want[s] + 1)
+        want = nxt
+    assert got == want
+    assert got["h0"] == 0 and got["h5"] == 0
+
+
+def test_bfs_partitioning_invariant(spark):
+    from python_fastly_log_query_spark.operators.webgraph import bfs_depths
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    r1 = {r.host: r.depth for r in bfs_depths(df, ["a"], 4).collect()}
+    r8 = {r.host: r.depth for r in bfs_depths(df.repartition(8), ["a"], 4).collect()}
+    assert r1 == r8
+    assert (r1["a"], r1["b"], r1["c"], r1["d"]) == (0, 1, 2, 3)
