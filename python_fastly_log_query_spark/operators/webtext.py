@@ -770,3 +770,41 @@ def script_mix_sql(text_expr: str, id_expr: str = "doc_id") -> str:
     return (
         f"SELECT {id_expr}, {n} AS n_chars, {ppm}, {dom} AS dominant"
     )
+
+
+# -------------------------------------------------------- crawl politeness
+
+
+def crawl_waves(
+    urls: DataFrame,
+    host_col: str = "host",
+    order_by: list | None = None,
+    per_wave: int = 8,
+    id_col: str = "url",
+) -> DataFrame:
+    """Politeness-wave scheduling: assign every URL to a fetch wave such
+    that no host receives more than ``per_wave`` fetches per wave — the
+    crawl-rate contract a polite fetcher must satisfy — while higher-
+    priority URLs land in earlier waves.
+
+    ``order_by`` is the per-host priority ordering (defaults to
+    ``id_col`` ascending; pass e.g. ``[F.desc("score"), F.asc("url")]``
+    — make it a total order or wave membership is ill-defined).  Output:
+    the input columns plus ``wave`` (0-based long).
+
+    Plan: ONE shuffle + sort (a row_number window per host; the wave is
+    pure arithmetic on the rank).  A host with 10^8 queued URLs
+    serializes its window partition exactly like sessionization — for
+    that profile rank within ``(host, salt_bucket)`` with a
+    ``per_wave div n_salt`` budget per bucket: the politeness bound
+    still holds per wave and the partition is 1/n_salt the size (the
+    operators/skew.py chunk pattern; priority ordering then holds
+    within buckets rather than globally).
+    """
+    order = order_by if order_by is not None else [F.asc(id_col)]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        urls.withColumn("_rn", F.row_number().over(w))
+        .withColumn("wave", F.expr(f"CAST((_rn - 1) div {per_wave} AS BIGINT)"))
+        .drop("_rn")
+    )

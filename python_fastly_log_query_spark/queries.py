@@ -6118,6 +6118,63 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------------- politeness waves
+
+_WAVES_ORACLE = """
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS host,
+         n_chars
+  FROM documents),
+r AS (SELECT url, host,
+        (row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, url) - 1) // 8 AS wave
+      FROM u),
+ph AS (SELECT wave, host, CAST(count(*) AS BIGINT) AS c
+       FROM r GROUP BY 1, 2)
+SELECT wave, CAST(sum(c) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_hosts, max(c) AS max_per_host
+FROM ph GROUP BY wave
+"""
+
+
+@register("crawl_wave_plan", _WAVES_ORACLE)
+def q_crawl_wave_plan(spark, sf):
+    """Politeness-wave crawl scheduling (operators/webtext.py:
+    crawl_waves): queued URLs assigned to fetch waves so no host exceeds
+    8 fetches per wave, higher-priority (longer) pages first — one
+    row_number window per host + pure arithmetic.  The rollup's
+    max_per_host column IS the politeness contract as a checkable value
+    (<= 8 in every row).  URLs are synthesized deterministically from
+    doc_id; priority = n_chars DESC with the url as tiebreak."""
+    from .operators.webtext import crawl_waves
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (d % 37).cast("string"),
+            F.lit(".com/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("site"), (d % 37).cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        "n_chars",
+    )
+    waves = crawl_waves(
+        urls, order_by=[F.desc("n_chars"), F.asc("url")], per_wave=8
+    )
+    per_host = waves.groupBy("wave", "host").agg(F.count(F.lit(1)).alias("c"))
+    return per_host.groupBy("wave").agg(
+        F.sum("c").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.max("c").alias("max_per_host"),
+    )
+
+
 # ----------------------------------------------------------------- BFS
 
 

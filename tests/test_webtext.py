@@ -363,3 +363,46 @@ def test_script_mix_dominance_and_ppm(spark):
     assert out[5].dominant == "other"
     # strict-greater rule: ties keep the earlier class in SCRIPT_CLASSES
     assert out[6].dominant == "latin"
+
+
+# -------------------------------------------------------- crawl politeness
+
+
+def test_crawl_waves_politeness_and_priority(spark):
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.webtext import crawl_waves
+
+    rows = [(f"u{i:02d}", "a.com" if i < 20 else "b.com", 100 - i) for i in range(25)]
+    urls = spark.createDataFrame(rows, "url string, host string, score long")
+    out = crawl_waves(
+        urls, order_by=[F.desc("score"), F.asc("url")], per_wave=8
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["wave"]), []).append(r)
+    # politeness: never more than per_wave URLs of one host in a wave
+    assert max(len(v) for v in per.values()) <= 8
+    # a.com has 20 urls -> waves 0,1,2 sized 8/8/4; b.com all in wave 0
+    assert sorted(len(per[("a.com", w)]) for w in (0, 1, 2)) == [4, 8, 8]
+    assert len(per[("b.com", 0)]) == 5
+    # priority: every wave-0 score >= every wave-1 score within a host
+    a0 = min(r["score"] for r in per[("a.com", 0)])
+    a1 = max(r["score"] for r in per[("a.com", 1)])
+    assert a0 >= a1
+
+
+def test_crawl_waves_deterministic_under_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.webtext import crawl_waves
+
+    rows = [(f"u{i}", f"h{i % 5}", i * 7 % 13) for i in range(60)]
+    urls = spark.createDataFrame(rows, "url string, host string, score long")
+    order = [F.desc("score"), F.asc("url")]
+    a = {(r["url"], r["wave"]) for r in crawl_waves(urls, order_by=order).collect()}
+    b = {
+        (r["url"], r["wave"])
+        for r in crawl_waves(urls.repartition(16), order_by=order).collect()
+    }
+    assert a == b
