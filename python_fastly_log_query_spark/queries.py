@@ -6118,6 +6118,57 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# -------------------------------------------------------- hopping windows
+
+
+@register(
+    "hopping_window_rollup",
+    """
+WITH e2 AS (
+  SELECT date_trunc('hour', ts) - to_hours(CAST(k AS INT)) AS win_start,
+         event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_mil
+  FROM events, range(2) t(k))
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_mil) AS BIGINT) AS sum_value_mil
+FROM e2 GROUP BY 1, 2
+""",
+)
+def q_hopping_window_rollup(spark, sf):
+    """Event-time HOPPING (sliding) window rollup — F.window(ts, '2
+    hours', '1 hour'): every event contributes to the 2 overlapping
+    windows covering it, the moving-aggregate view dashboards and
+    anomaly detectors read (complementing the tumbling hourly rollup
+    and session_window families).  Spark expands the window set
+    map-side and the aggregate shuffles only (window, type) partials;
+    value mass sums as floor(v*1000+0.5) longs (associative, bit-exact
+    cross-engine — double sums are association-dependent).  Oracle:
+    each event replicated onto its two covering hour-grid starts."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            ).alias("sum_value_mil"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value_mil",
+        )
+    )
+
+
 # ------------------------------------------------------- politeness waves
 
 _WAVES_ORACLE = """

@@ -57,3 +57,19 @@ def test_hourly_retention_counts(spark):
     assert out[0].active_users == 2 and out[0].retained_users == 1
     assert out[0].retained_ppm == 500000
     assert out[1].active_users == 2 and out[1].retained_users == 0
+
+
+def test_hopping_window_double_counts_each_event_once_per_window(spark):
+    """Hopping 2h/1h: every event lies in EXACTLY two windows, so total
+    window-row mass is 2x the event count; each window spans its events'
+    hour and the previous one."""
+    from conftest import SF_SMALL
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["hopping_window_rollup"](spark, SF_SMALL)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    from pyspark.sql import functions as F
+
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * ev.count()
