@@ -6118,6 +6118,60 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------- incremental join view
+
+
+@register(
+    "incremental_join_view",
+    """
+WITH dim AS (
+  SELECT event_type,
+         substr(md5('grp-' || event_type), 1, 1) AS grp
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT d.grp, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       max(e.value) AS max_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.grp
+""",
+)
+def q_incremental_join_view(spark, sf):
+    """Incremental JOIN-view maintenance (plans/incremental.py):
+    events/dim each split deterministically into an OLD table and an
+    arriving BATCH; the maintained view = old view + the algebraic
+    delta (dA JOIN B + A JOIN dB + dA JOIN dB, delta sides broadcast) —
+    the fact table is scanned, never reshuffled, when a batch lands.
+    Oracle: the IDENTITY — DuckDB recomputes the full join from scratch
+    and the maintained view must roll up to the same rows (the
+    merge-identity pattern incremental_rollup_merge uses for
+    aggregates)."""
+    from .plans.incremental import maintained_join_view
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    a_old = ev.filter(F.col("event_id") % 8 != 0)
+    a_delta = ev.filter(F.col("event_id") % 8 == 0)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.substring(
+                F.md5(F.concat(F.lit("grp-"), F.col("event_type"))), 1, 1
+            ).alias("grp"),
+        )
+    )
+    b_old = dim.filter(F.col("grp") < "c")
+    b_delta = dim.filter(F.col("grp") >= "c")
+    view = maintained_join_view(
+        a_old, a_delta, b_old, b_delta, on=["event_type"]
+    )
+    return view.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("value").alias("max_value"),
+    )
+
+
 # -------------------------------------------------------- hopping windows
 
 
