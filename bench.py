@@ -160,10 +160,14 @@ STANDALONE_QUERIES = [
     "approx_quantiles_contract",
     "kmv_shingle_overlap",
     "host_hits",
+    "host_crawl_depths",
+    "crawl_wave_plan",
     "kcenter_diverse_sample",
     "pps_weighted_sample",
     "cdc_latest_snapshot",
     "cdc_scd2_history",
+    "hopping_window_rollup",
+    "incremental_join_view",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -230,6 +234,9 @@ SF1_REUSE = [
     "kmv_shingle_overlap",
     "pps_weighted_sample",
     "cdc_latest_snapshot",
+    "cdc_scd2_history",
+    "hopping_window_rollup",
+    "incremental_join_view",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (
