@@ -68,12 +68,22 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     checkpoint_every: int = 3,
+    personalize: list[str] | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank over a weighted (src, dst, w) edge list;
     returns (host, pr) with pr scaled by ``SCALE``.  See module doc for
     the exact variant.  Driver holds only the loop counter — scores and
     edges stay distributed; ``localCheckpoint`` keeps the K-round plan
-    shallow (same pattern as connected_components)."""
+    shallow (same pattern as connected_components).
+
+    ``personalize``: a seed-host list switches to PERSONALIZED PageRank
+    (TrustRank, Gyöngyi et al. 2004): teleport mass goes only to the
+    seeds (``(15*SCALE) div (100*n_seeds)`` each, 0 elsewhere), and the
+    walk starts there — authority then flows outward from trusted hosts
+    only, so link farms that boost each other but are never linked FROM
+    the trusted web score ~0 however dense their internal structure.
+    The plan is unchanged: the teleport term is a per-row conditional,
+    not a join."""
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
@@ -83,8 +93,17 @@ def pagerank(
     n = nodes.count()
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ew = edges.join(outw, "src").localCheckpoint()  # (src, dst, w, ow)
-    teleport = (15 * SCALE) // (100 * n)
-    pr = nodes.withColumn("pr", F.lit(SCALE // n).cast("long"))
+    if personalize is None:
+        tele_col = F.lit((15 * SCALE) // (100 * n))
+        init_col = F.lit(SCALE // n)
+    else:
+        ns = len(personalize)
+        seed = F.col("host").isin(personalize)
+        tele_col = F.when(seed, F.lit((15 * SCALE) // (100 * ns))).otherwise(
+            F.lit(0)
+        )
+        init_col = F.when(seed, F.lit(SCALE // ns)).otherwise(F.lit(0))
+    pr = nodes.withColumn("pr", init_col.cast("long"))
     for k in range(1, iterations + 1):
         inc = (
             ew.join(pr.withColumnRenamed("host", "src"), "src")
@@ -97,7 +116,7 @@ def pagerank(
             .select(
                 "host",
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.expr("85 * coalesce(inc, 0L) div 100")
                 ).cast("long").alias("pr"),
             )
@@ -121,32 +140,61 @@ def extract_outlinks_sql(html_expr: str, src_expr: str,
 """
 
 
-def pagerank_sql(iterations: int, edges_cte: str = "edges") -> tuple[str, str]:
+def pagerank_sql(
+    iterations: int,
+    edges_cte: str = "edges",
+    prefix: str = "pr",
+    personalize: list[str] | None = None,
+    include_base: bool = True,
+) -> tuple[str, str]:
     """(CTE chain, final select) unrolling :func:`pagerank` over a
     ``{edges_cte}(src, dst, w)`` relation — kept in lockstep with the
-    DataFrame loop."""
-    parts = [
-        f"nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM {edges_cte} "
-        f"UNION ALL SELECT dst FROM {edges_cte}))",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM {edges_cte} GROUP BY 1)",
-        f"pr0 AS (SELECT host, CAST({SCALE} // n AS BIGINT) AS pr FROM nodes, nn)",
-    ]
+    DataFrame loop.  ``prefix`` renames the score/share CTEs so two
+    chains (e.g. global + personalized for a spam-mass oracle) can
+    share one query's nodes/nn/outw base (emit the base once with
+    ``include_base``); ``personalize`` mirrors the TrustRank teleport
+    (seed-only mass, no nn dependence)."""
+    parts = []
+    if include_base:
+        parts += [
+            f"nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM {edges_cte} "
+            f"UNION ALL SELECT dst FROM {edges_cte}))",
+            "nn AS (SELECT count(*) AS n FROM nodes)",
+            f"outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM {edges_cte} GROUP BY 1)",
+        ]
+    if personalize is None:
+        parts.append(
+            f"{prefix}0 AS (SELECT host, CAST({SCALE} // n AS BIGINT) AS pr FROM nodes, nn)"
+        )
+        tele = f"(15 * {SCALE}) // (100 * nn.n)"
+        tail = ", nn"
+    else:
+        ns = len(personalize)
+        seeds = ", ".join(f"'{s}'" for s in personalize)
+        parts.append(
+            f"{prefix}0 AS (SELECT host, CAST(CASE WHEN host IN ({seeds}) "
+            f"THEN {SCALE // ns} ELSE 0 END AS BIGINT) AS pr FROM nodes)"
+        )
+        tele = (
+            f"CASE WHEN n.host IN ({seeds}) THEN {(15 * SCALE) // (100 * ns)} "
+            f"ELSE 0 END"
+        )
+        tail = ""
     for k in range(1, iterations + 1):
-        prev = f"pr{k - 1}"
+        prev = f"{prefix}{k - 1}"
         parts.append(f"""
-inc{k} AS (
+{prefix}inc{k} AS (
   SELECT e.dst, CAST(sum(p.pr * e.w // o.ow) AS BIGINT) AS inc
   FROM {edges_cte} e
   JOIN {prev} p ON p.host = e.src
   JOIN outw o ON o.src = e.src
   GROUP BY 1),
-pr{k} AS (
+{prefix}{k} AS (
   SELECT n.host,
-         CAST((15 * {SCALE}) // (100 * nn.n)
+         CAST({tele}
               + 85 * COALESCE(i.inc, 0) // 100 AS BIGINT) AS pr
-  FROM nodes n LEFT JOIN inc{k} i ON i.dst = n.host, nn)""")
-    return ",".join(parts), f"SELECT host, pr FROM pr{iterations}"
+  FROM nodes n LEFT JOIN {prefix}inc{k} i ON i.dst = n.host{tail})""")
+    return ",".join(parts), f"SELECT host, pr FROM {prefix}{iterations}"
 
 
 # ------------------------------------------------------------ anchor text

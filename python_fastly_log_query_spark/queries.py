@@ -6118,6 +6118,56 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------------------ TrustRank
+
+_TR_SEEDS = ["site0.com", "site1.com", "site2.com"]
+
+
+def _wg_trustrank_oracle() -> str:
+    from .operators.webgraph import pagerank_sql
+
+    pr_ctes, _ = pagerank_sql(5, prefix="pr")
+    tr_ctes, _ = pagerank_sql(
+        5, prefix="tr", personalize=_TR_SEEDS, include_base=False
+    )
+    final = """
+SELECT p.host, p.pr, t.pr AS tr,
+       CAST(greatest(0, p.pr - t.pr) * 1000000 // p.pr AS BIGINT)
+         AS spam_mass_ppm
+FROM pr5 p JOIN tr5 t USING (host)
+"""
+    return f"WITH {_WG_EDGES_SQL}, {pr_ctes}, {tr_ctes} {final}"
+
+
+@register("host_trustrank", _wg_trustrank_oracle())
+def q_host_trustrank(spark, sf):
+    """TrustRank + spam mass (operators/webgraph.py:pagerank with
+    personalized teleport, Gyöngyi et al. 2004): authority re-walked
+    with teleport mass restricted to trusted seed hosts, so link farms
+    never linked FROM the trusted web score ~0 regardless of internal
+    density.  spam_mass_ppm = the fraction of a host's global PageRank
+    NOT backed by trust — the classic spam-demotion signal.  Two
+    5-round integer fixpoints sharing one edge scan; the oracle unrolls
+    BOTH chains over a shared base and replays the ppm division."""
+    from .operators.webgraph import extract_outlinks, pagerank
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = extract_outlinks(_wg_pages_spark(docs)).localCheckpoint()
+    pr = pagerank(edges, iterations=5)
+    tr = pagerank(edges, iterations=5, personalize=_TR_SEEDS).withColumnRenamed(
+        "pr", "tr"
+    )
+    j = pr.join(tr, "host")
+    return j.select(
+        "host",
+        "pr",
+        "tr",
+        F.expr("greatest(0L, pr - tr) * 1000000L div pr").alias(
+            "spam_mass_ppm"
+        ),
+    )
+
+
 # ------------------------------------------------- incremental join view
 
 

@@ -283,3 +283,45 @@ def test_bfs_partitioning_invariant(spark):
     r8 = {r.host: r.depth for r in bfs_depths(df.repartition(8), ["a"], 4).collect()}
     assert r1 == r8
     assert (r1["a"], r1["b"], r1["c"], r1["d"]) == (0, 1, 2, 3)
+
+
+# -------------------------------------------------------------- TrustRank
+
+
+def test_personalized_pagerank_matches_python_replica(spark):
+    import random
+
+    from python_fastly_log_query_spark.operators.webgraph import SCALE, pagerank
+
+    rng = random.Random(19)
+    hosts = [f"h{i}" for i in range(15)]
+    uniq = {}
+    for s in hosts:
+        for d in rng.sample(hosts, 3):
+            uniq[(s, d)] = rng.randint(1, 5)
+    edges = [(s, d, w) for (s, d), w in uniq.items()]
+    seeds = ["h0", "h3"]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.host: r.pr for r in pagerank(df, 4, personalize=seeds).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    ns = len(seeds)
+    pr = {v: (SCALE // ns if v in seeds else 0) for v in nodes}
+    for _ in range(4):
+        inc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            inc[d] += pr[s] * w // outw[s]
+        pr = {
+            v: ((15 * SCALE) // (100 * ns) if v in seeds else 0)
+            + 85 * inc[v] // 100
+            for v in nodes
+        }
+    assert got == pr
+    # teleport only reaches seeds: a host with no in-links and no seed
+    # status scores exactly 0
+    no_in = set(nodes) - {d for _, d, _ in edges} - set(seeds)
+    for v in no_in:
+        assert got[v] == 0
