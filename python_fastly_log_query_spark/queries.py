@@ -6118,6 +6118,56 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ----------------------------------------------------------- skew audit
+
+
+@register(
+    "key_skew_audit",
+    L
+    + """,
+c AS (SELECT ip_address AS k, CAST(count(*) AS BIGINT) AS c
+      FROM logs WHERE ip_address IS NOT NULL GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       max(c) AS max_c,
+       round(quantile_cont(c, 0.5), 4) AS p50_c,
+       round(quantile_cont(c, 0.99), 4) AS p99_c,
+       CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_ppm
+FROM c
+""",
+)
+def q_key_skew_audit(spark, sf):
+    """Shuffle-skew audit for a candidate partition key (here
+    ip_address — the sessionization/as-of key): per-key counts in one
+    map-side-combined shuffle, then distribution stats over the
+    KEY-sized counts frame (a dimension next to the fact table) — max,
+    exact p50/p99, and the hot key's row share in ppm.  This is the
+    report you run BEFORE choosing window keys: top_share_ppm near
+    10^6 means one task owns the stage and the chunk/salt hardenings
+    (operators/skew.py) are mandatory.  Exact percentile at test scale
+    ↔ percentile_approx at fleet scale (the repo-wide dial)."""
+    p = _parsed(spark, sf)
+    counts = (
+        p.filter(F.col("ip_address").isNotNull())
+        .groupBy("ip_address")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+        round_half_away(F.expr("percentile(c, 0.5)"), 4).alias("p50_c"),
+        round_half_away(F.expr("percentile(c, 0.99)"), 4).alias("p99_c"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        "p50_c",
+        "p99_c",
+        F.expr("max_c * 1000000L div n_rows").alias("top_share_ppm"),
+    )
+
+
 # ------------------------------------------------------------ TrustRank
 
 _TR_SEEDS = ["site0.com", "site1.com", "site2.com"]
