@@ -6118,6 +6118,47 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------ streaming hopping twin
+
+
+@register(
+    "streaming_hopping_rollup",
+    L
+    + """,
+e2 AS (SELECT date_trunc('hour', ts_s) - to_hours(CAST(k AS INT)) AS win_start,
+              status_code
+       FROM logs, range(2) t(k) WHERE ts_s IS NOT NULL)
+SELECT CAST(win_start AS TIMESTAMP) AS win_start, status_code,
+       count(*) AS requests
+FROM e2 GROUP BY 1, 2
+""",
+)
+def q_streaming_hopping_rollup(spark, sf):
+    """Streaming twin of hopping_window_rollup (streaming/jobs.py:
+    hopping_rollup): the parsed log stream aggregated over watermarked
+    2h/1h HOPPING windows, drained exactly-once with AvailableNow —
+    final state must equal the plain batch double-window GROUP BY (the
+    DuckDB oracle), the same batch-equality contract as
+    streaming_hourly_rollup.  Watermark eviction applies per overlapping
+    window, so state is (size/slide) x the tumbling rollup's — still
+    bounded by the late-data horizon, never by stream length."""
+    from . import oracle_corpus as oc
+    from .streaming.jobs import hopping_rollup, run_available_now, stream_parse_docs
+
+    work, name = _stream_scratch(spark, "stream_hop")
+    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["timestamp", "status_code"],
+        schema="event_id long, text string",
+    )
+    run_available_now(
+        hopping_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
+    )
+    return spark.table(name)
+
+
 # ----------------------------------------------------------- skew audit
 
 

@@ -110,6 +110,30 @@ def hourly_rollup(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_rollup(
+    parsed: DataFrame,
+    size: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Hopping (sliding) event-time rollup: every event contributes to
+    the size/slide overlapping windows covering it — the moving-average
+    view a live dashboard reads; watermark bounds the per-window state
+    exactly as in :func:`hourly_rollup` (a window's state is evictable
+    once the watermark passes its end)."""
+    return (
+        parsed.filter(F.col("timestamp").isNotNull())
+        .withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", size, slide).alias("w"), "status_code")
+        .agg(F.count(F.lit(1)).alias("requests"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "status_code",
+            "requests",
+        )
+    )
+
+
 _IP_STATE_SCHEMA = StructType(
     [
         StructField("count", LongType()),
