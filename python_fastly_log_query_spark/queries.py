@@ -6118,6 +6118,52 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------------- salted join
+
+_SJ_ORACLE = """
+WITH l AS (
+  SELECT event_id, value,
+         CASE WHEN event_id % 2 = 0 THEN 'hot' ELSE event_type END AS k
+  FROM events),
+r AS (SELECT k, substr(md5('sj-' || k), 1, 1) AS grp
+      FROM (SELECT DISTINCT k FROM l))
+SELECT grp, CAST(count(*) AS BIGINT) AS n, max(value) AS max_value
+FROM l JOIN r USING (k) GROUP BY 1
+"""
+
+
+@register("salted_join_rollup", _SJ_ORACLE)
+def q_salted_join_rollup(spark, sf):
+    """Skew-defused big-big join (operators/skew.py:salted_join): a
+    synthetic Zipf key ('hot' carries 50% of all rows) joined with the
+    hot key scattered over 8 salts on the fact side and replicated 8x
+    on the other — one straggler task becomes 8 even ones, non-hot keys
+    pay nothing.  Completes the skew toolbox: salted_counts (agg),
+    sessionize_chunked (window), salted_join (join); feed hot_keys from
+    key_skew_audit at deploy.  Oracle: the PLAIN join — salting must be
+    row-invisible."""
+    from .operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    left = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+    )
+    right = left.select("k").distinct().select(
+        "k",
+        F.substring(F.md5(F.concat(F.lit("sj-"), F.col("k"))), 1, 1).alias(
+            "grp"
+        ),
+    )
+    j = salted_join(left, right, on="k", hot_keys=["hot"], left_id="event_id")
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value")
+    )
+
+
 # ------------------------------------------------ streaming hopping twin
 
 

@@ -891,3 +891,39 @@ def test_pps_sample_windows_are_rid_partitioned(spark):
     # the rid ORDER column directly)
     assert "windowspecdefinition(rid#" in plan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    """salted_join (round 4): row-identical to the plain join; the hot
+    key's fact rows land in every salt bucket (8-way spread instead of
+    one straggler)."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.skew import salted_join
+
+    left = spark.range(0, 4000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+    )
+    right = left.select("k").distinct().select(
+        "k", F.length("k").alias("payload")
+    )
+    got = salted_join(left, right, on="k", hot_keys=["hot"], left_id="rid")
+    want = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # spread: the hot key's 2000 rows cover all 8 salts, ~250 each
+    spread = (
+        left.withColumn(
+            "_salt",
+            F.conv(F.substring(F.md5(F.col("rid").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8,
+        )
+        .filter(F.col("k") == "hot")
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) < 2 * 2000 / 8
