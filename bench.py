@@ -168,6 +168,10 @@ STANDALONE_QUERIES = [
     "cdc_scd2_history",
     "hopping_window_rollup",
     "incremental_join_view",
+    "host_trustrank",
+    "key_skew_audit",
+    "salted_join_rollup",
+    "streaming_hopping_rollup",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -237,6 +241,8 @@ SF1_REUSE = [
     "cdc_scd2_history",
     "hopping_window_rollup",
     "incremental_join_view",
+    "key_skew_audit",
+    "salted_join_rollup",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (
