@@ -128,3 +128,29 @@ def zorder_bins(df, x: str, y: str, bits: int = 8, bin_shift: int = 6):
             (F.max("_y") - F.min("_y")).alias("y_span"),
         )
     )
+
+
+def missing_days(df, ts_col: str = "ts"):
+    """Backfill planner: calendar days between the table's min and max
+    event day with NO rows present — the gap list an ingestion scheduler
+    re-queues (a day partition that silently failed to land is invisible
+    to every downstream rollup; this makes it a first-class row).
+
+    Plan: one min/max aggregate (1 row), explode the day sequence from
+    it (bounded by the calendar span, never row count), LEFT ANTI join
+    against the distinct present days — both sides day-cardinality,
+    broadcastable at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    present = df.select(F.to_date(ts_col).alias("d")).distinct()
+    rng = df.agg(
+        F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
+    )
+    expected = rng.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return (
+        expected.join(present, "d", "left_anti")
+        .select(F.date_format("d", "yyyy-MM-dd").alias("missing_day"))
+    )

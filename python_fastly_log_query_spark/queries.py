@@ -6118,6 +6118,40 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ----------------------------------------------------- ingest gap audit
+
+
+@register(
+    "ingest_gap_audit",
+    """
+WITH ing AS (SELECT ts FROM events WHERE day(ts) % 7 <> 3),
+r AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM ing),
+exp AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM r),
+pres AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM ing)
+SELECT strftime(d, '%Y-%m-%d') AS missing_day
+FROM exp WHERE d NOT IN (SELECT d FROM pres)
+""",
+)
+def q_ingest_gap_audit(spark, sf):
+    """Backfill planner (plans/partitioning.py:missing_days): calendar
+    days inside the table's span with NO rows landed — the gap list an
+    ingestion scheduler re-queues before any rollup trusts the table.
+    Day-partitioned crawls lose whole days silently (a failed fetch job
+    is an ABSENT partition, not an error row); this audit makes each
+    gap a first-class row.  Plan: 1-row min/max + calendar-bounded
+    sequence explode + LEFT ANTI join of day-cardinality frames.
+    Gap days are planted deterministically (day-of-month % 7 == 3
+    withheld) so both engines see identical holes."""
+    from .plans.partitioning import missing_days
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ing = ev.filter(F.dayofmonth("ts") % 7 != 3)
+    return missing_days(ing, "ts")
+
+
 # ------------------------------------------------------- salted join
 
 _SJ_ORACLE = """

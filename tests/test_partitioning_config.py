@@ -110,3 +110,25 @@ def test_zorder_bins_have_bounded_spans(spark):
     # a 64-wide z range covers at most an 8x8 (x, y) tile
     assert all(r.x_span <= 7 and r.y_span <= 7 for r in out)
     assert sum(r.n_rows for r in out) == 4096
+
+
+def test_missing_days_finds_planted_gaps_and_none_when_full(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.plans.partitioning import missing_days
+
+    rows = [
+        (i, datetime(2024, 3, d, 12, 0, 0))
+        for i, d in enumerate([1, 2, 4, 5, 8])  # gaps: 3, 6, 7
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = sorted(r["missing_day"] for r in missing_days(df, "ts").collect())
+    assert got == ["2024-03-03", "2024-03-06", "2024-03-07"]
+    # a gap-free table reports nothing
+    full = spark.createDataFrame(
+        [(i, datetime(2024, 3, 1 + i, 0, 0, 0)) for i in range(5)],
+        "id long, ts timestamp",
+    )
+    assert missing_days(full, "ts").count() == 0
