@@ -172,6 +172,7 @@ STANDALONE_QUERIES = [
     "key_skew_audit",
     "salted_join_rollup",
     "streaming_hopping_rollup",
+    "ingest_gap_audit",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured

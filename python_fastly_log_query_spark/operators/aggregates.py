@@ -793,3 +793,61 @@ def hourly_retention(events: DataFrame, user_col: str = "user_id") -> DataFrame:
             "retained_users * 1000000L div active_users AS retained_ppm",
         )
     )
+
+
+def equidepth_histogram(df: DataFrame, col: str, buckets: int = 4) -> DataFrame:
+    """Exact equi-depth histogram of an integer column: ``buckets``
+    bins each holding ~n/buckets rows, with integer-exact breakpoints —
+    the selectivity profile an optimizer zone-map / a latency SLO report
+    wants, without interpolated quantiles (whose last-ulp float
+    arithmetic differs between engines and would flip boundary rows).
+
+    Breakpoints are ORDER STATISTICS computed the scale-correct way for
+    bounded-cardinality numerics: counts per distinct value (one
+    map-side-combined shuffle, output = distinct values, a dimension
+    next to the fact table), a running cumsum over that frame, and
+    breakpoint q = the smallest value whose cumulative count reaches
+    ceil(q*n) — all integer arithmetic, bit-identical in any engine.
+    The cumsum window is single-partition BY DESIGN over the
+    distinct-value frame (same rule as shard_plan's offsets rollup);
+    a genuinely high-cardinality column takes the rid-bucketed prefix
+    sum instead.
+
+    Returns ``(bucket, lo, hi, n_rows)`` — bucket 0..buckets-1, lo/hi
+    the bin's actual value span.
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vals.withColumn("cum", F.sum("c").over(w))
+    tot = cum.agg(F.max("cum").alias("n"))
+    # breakpoint for quantile k/buckets: min v with cum*buckets >= k*n
+    # (integer cross-multiply — no division, no floats)
+    bk = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * buckets >= k * F.col("n"), F.col("v"))
+            ).alias(f"b{k}")
+            for k in range(1, buckets)
+        ]
+    )
+    marked = cum.crossJoin(F.broadcast(bk))
+    bucket = F.lit(buckets - 1)
+    for k in range(buckets - 1, 0, -1):
+        bucket = F.when(F.col("v") <= F.col(f"b{k}"), F.lit(k - 1)).otherwise(
+            bucket
+        )
+    return (
+        marked.select(bucket.alias("bucket"), "v", "c")
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("c").alias("n_rows"),
+        )
+    )

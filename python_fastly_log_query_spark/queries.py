@@ -6118,6 +6118,45 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ------------------------------------------------- equi-depth histogram
+
+
+@register(
+    "response_size_histogram",
+    L
+    + """,
+vals AS (SELECT response_size AS v, CAST(count(*) AS BIGINT) AS c
+         FROM logs WHERE response_size IS NOT NULL GROUP BY 1),
+cum AS (SELECT v, c,
+               sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM vals),
+t AS (SELECT max(cum) AS n FROM cum),
+bk AS (SELECT min(CASE WHEN cum * 4 >= 1 * n THEN v END) AS b1,
+              min(CASE WHEN cum * 4 >= 2 * n THEN v END) AS b2,
+              min(CASE WHEN cum * 4 >= 3 * n THEN v END) AS b3
+       FROM cum, t)
+SELECT CASE WHEN v <= b1 THEN 0 WHEN v <= b2 THEN 1
+            WHEN v <= b3 THEN 2 ELSE 3 END AS bucket,
+       min(v) AS lo, max(v) AS hi, CAST(sum(c) AS BIGINT) AS n_rows
+FROM cum, bk GROUP BY 1
+""",
+)
+def q_response_size_histogram(spark, sf):
+    """Exact equi-depth histogram of response sizes
+    (operators/aggregates.py:equidepth_histogram): 4 bins of ~equal row
+    mass with INTEGER-EXACT breakpoints — order statistics via the
+    distinct-value cumsum (counts per value → running total → smallest
+    value reaching ceil(q·n), all integer cross-multiplies), never an
+    interpolated float quantile whose last-ulp arithmetic could flip
+    boundary rows between engines.  The selectivity profile zone maps /
+    SLO reports read."""
+    from .operators.aggregates import equidepth_histogram
+
+    p = _parsed(spark, sf)
+    return equidepth_histogram(p, "response_size", buckets=4)
+
+
 # ----------------------------------------------------- ingest gap audit
 
 

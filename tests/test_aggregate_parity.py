@@ -294,3 +294,30 @@ def test_sessionize_chunked_property(spark):
         )
         want = _session_multiset(_plain_sessions(spark, events))
         assert got == want, f"case {case} chunk_sec {chunk_sec}"
+
+
+def test_equidepth_histogram_exact_quartiles(spark):
+    """equidepth_histogram (round 4): each bin holds ~n/buckets rows,
+    breakpoints are exact order statistics (integer cross-multiply, no
+    interpolation), duplicates never split across bins."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.aggregates import (
+        equidepth_histogram,
+    )
+
+    # 100 rows of values 1..100 -> quartile breaks exactly at 25/50/75
+    df = spark.range(1, 101).select(F.col("id").alias("x"))
+    out = {r["bucket"]: r for r in equidepth_histogram(df, "x", 4).collect()}
+    assert [out[b]["n_rows"] for b in range(4)] == [25, 25, 25, 25]
+    assert (out[0]["lo"], out[0]["hi"]) == (1, 25)
+    assert (out[3]["lo"], out[3]["hi"]) == (76, 100)
+    # a massive duplicate value stays in ONE bin (its whole count is at
+    # one cumsum point)
+    dup = spark.createDataFrame(
+        [(7,)] * 90 + [(1,), (2,), (3,), (4,), (5,), (90,), (91,), (92,), (93,), (94,)],
+        "x long",
+    )
+    rows = equidepth_histogram(dup, "x", 4).collect()
+    seven = [r for r in rows if r["lo"] <= 7 <= r["hi"]]
+    assert len(seven) == 1 and seven[0]["n_rows"] >= 90
