@@ -6118,6 +6118,69 @@ def q_host_hits(spark, sf):
     return hits(edges, iterations=3)
 
 
+# ---------------------------------------------------- MAD outlier audit
+
+
+@register(
+    "value_mad_outliers",
+    """
+WITH q AS (SELECT event_type,
+                  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+           FROM events),
+med AS (SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM q GROUP BY 1),
+dev AS (SELECT q.event_type, q.v, m.med, abs(q.v - m.med) AS ad
+        FROM q JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (abs(d.v - d.med) > 3 * m.mad) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def q_value_mad_outliers(spark, sf):
+    """Robust per-segment outlier audit via MEDIAN ABSOLUTE DEVIATION:
+    |v - median| > 3·MAD per event_type — the outlier rule that, unlike
+    mean/stddev z-scores, does not move when the outliers themselves
+    land (complementing the P99 cut and the median spike detector).
+    Bit-exact BY CONSTRUCTION without integer-only arithmetic: values
+    quantize to mil longs first, so every median is on the exact 0.5
+    grid, |v - med| stays on it, and the second median again — all
+    representable doubles, no last-ulp divergence for a comparison to
+    sit on.  Plan: two grouped exact percentiles + one broadcastable
+    type-keyed join (exact ↔ percentile_approx at fleet scale, the
+    repo dial)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    med = q.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 # ------------------------------------------------- equi-depth histogram
 
 
