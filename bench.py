@@ -173,6 +173,8 @@ STANDALONE_QUERIES = [
     "salted_join_rollup",
     "streaming_hopping_rollup",
     "ingest_gap_audit",
+    "response_size_histogram",
+    "value_mad_outliers",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -244,6 +246,7 @@ SF1_REUSE = [
     "incremental_join_view",
     "key_skew_audit",
     "salted_join_rollup",
+    "value_mad_outliers",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (
