@@ -6687,16 +6687,18 @@ def _changelog(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_latest_snapshot",
+_CDC_SNAPSHOT_SQL = (
     _CDC_CTE
     + """
 SELECT k, max(seq) AS last_seq, CAST(count(*) AS BIGINT) AS n_changes,
        arg_max(event_type, seq) AS event_type, arg_max(value, seq) AS value
 FROM chg GROUP BY k
 HAVING arg_max(op, seq) <> 'delete'
-""",
+"""
 )
+
+
+@register("cdc_latest_snapshot", _CDC_SNAPSHOT_SQL)
 def q_cdc_latest_snapshot(spark, sf):
     """CDC changelog compaction — the current snapshot a MERGE INTO
     maintains: one row per key with the highest-seq payload, keys whose
@@ -6748,6 +6750,61 @@ def q_cdc_scd2_history(spark, sf):
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+# -------------------------------------------------------- streaming CDC
+
+
+@register("streaming_cdc_snapshot", _CDC_SNAPSHOT_SQL)
+def q_streaming_cdc_snapshot(spark, sf):
+    """Streaming CDC materialization (streaming/jobs.py:
+    cdc_materialize_stream): the changelog lands as a 4-file parquet
+    table, streams back ONE FILE PER MICRO-BATCH (maxFilesPerTrigger=1
+    — the latest-wins fold genuinely crosses batch boundaries), and
+    applyInPandasWithState maintains one (max-seq payload, change
+    count) row per live key — the engine-native form of a foreachBatch
+    MERGE INTO loop, state bounded by key cardinality, not stream
+    length.  Drained exactly-once with AvailableNow; the final per-key
+    update (highest n_changes), deletes filtered, must equal the BATCH
+    compaction — the same DuckDB oracle as cdc_latest_snapshot."""
+    from .streaming.jobs import (
+        cdc_materialize_stream,
+        run_available_now,
+        stream_docs,
+    )
+
+    work, name = _stream_scratch(spark, "stream_cdc")
+    _changelog(spark, sf).repartition(4).write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    chg = stream_docs(
+        spark,
+        f"{work}/src",
+        schema="k string, seq long, ts timestamp, op string, "
+        "event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    run_available_now(
+        cdc_materialize_stream(chg),
+        f"{work}/ckpt",
+        queryName=name,
+        outputMode="update",
+    )
+    snap = spark.table(name)
+    latest = snap.groupBy("k").agg(
+        F.max_by(
+            F.struct("last_seq", "n_changes", "op", "event_type", "value"),
+            F.col("n_changes"),
+        ).alias("_s")
+    )
+    return latest.filter(F.col("_s.op") != "delete").select(
+        "k",
+        F.col("_s.last_seq").alias("last_seq"),
+        F.col("_s.n_changes").alias("n_changes"),
+        F.col("_s.event_type").alias("event_type"),
+        F.col("_s.value").alias("value"),
+    )
+
 
 
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -250,3 +251,81 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+# ----------------------------------------------------- streaming CDC
+
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seq", LongType()),
+        StructField("n_changes", LongType()),
+        StructField("op", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("k", StringType()),
+        StructField("last_seq", LongType()),
+        StructField("n_changes", LongType()),
+        StructField("op", StringType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _cdc_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Latest-wins CDC state per key: (max seq, its payload, running
+    change count) — the streaming MERGE INTO.  Arbitrary arrival order
+    within and across micro-batches converges to the same state because
+    max-by-seq is associative (seq is unique per key by contract)."""
+    last_seq, n, op, et, val = (
+        state.get if state.exists else (None, 0, None, None, None)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        j = int(pdf["seq"].values.argmax())
+        s = int(pdf["seq"].iloc[j])
+        if last_seq is None or s > last_seq:
+            last_seq = s
+            op = pdf["op"].iloc[j]
+            et = pdf["event_type"].iloc[j]
+            val = float(pdf["value"].iloc[j])
+    state.update((last_seq, n, op, et, val))
+    yield pd.DataFrame(
+        [
+            {
+                "k": key[0],
+                "last_seq": last_seq,
+                "n_changes": n,
+                "op": op,
+                "event_type": et,
+                "value": val,
+            }
+        ]
+    )
+
+
+def cdc_materialize_stream(changes: DataFrame) -> DataFrame:
+    """Streaming CDC materialization: the changelog stream keyed by
+    ``k``, folded into latest-wins state per key across micro-batches
+    (`applyInPandasWithState`) — what a `foreachBatch MERGE INTO` loop
+    maintains, expressed as the engine-native stateful operator.  State
+    is ONE row per live key (bounded by key cardinality, not stream
+    length); each update emits the key's current snapshot row.  The
+    batch-equality contract: after draining, the per-key row with the
+    highest n_changes (strictly increasing per emission), deletes
+    filtered, equals operators/cdc.py:compact_changelog on the same
+    changelog — the registered query's oracle."""
+    return changes.groupBy("k").applyInPandasWithState(
+        _cdc_state_fn,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -105,3 +105,64 @@ def test_snapshot_equals_history_current_rows(spark):
         .collect()
     }
     assert snap == cur
+
+
+def test_streaming_cdc_crosses_micro_batches_and_equals_batch(spark, tmp_path):
+    """cdc_materialize_stream folds latest-wins state ACROSS micro-batches
+    (maxFilesPerTrigger=1 over a multi-file changelog) and the drained
+    snapshot equals the batch compaction."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.cdc import compact_changelog
+    from python_fastly_log_query_spark.streaming.jobs import (
+        cdc_materialize_stream,
+        run_available_now,
+        stream_docs,
+    )
+
+    log = _changelog(spark).select(
+        "k", "seq", "ts", "op", F.col("payload").alias("event_type"),
+        F.col("v").alias("value"),
+    )
+    src = str(tmp_path / "src")
+    log.repartition(4).write.parquet(src)
+    chg = stream_docs(
+        spark,
+        src,
+        schema="k string, seq long, ts timestamp, op string, "
+        "event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    q = run_available_now(
+        cdc_materialize_stream(chg),
+        str(tmp_path / "ckpt"),
+        queryName="cdc_state_test",
+        outputMode="update",
+    )
+    assert len(q.recentProgress) >= 4  # one micro-batch per file
+    snap = spark.table("cdc_state_test")
+    latest = (
+        snap.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("last_seq", "n_changes", "op", "event_type", "value"),
+                F.col("n_changes"),
+            ).alias("_s")
+        )
+        .filter(F.col("_s.op") != "delete")
+        .select(
+            "k",
+            F.col("_s.last_seq").alias("last_seq"),
+            F.col("_s.n_changes").alias("n_changes"),
+            F.col("_s.event_type").alias("event_type"),
+            F.col("_s.value").alias("value"),
+        )
+    )
+    got = {tuple(r) for r in latest.collect()}
+    want = {
+        tuple(r)
+        for r in compact_changelog(
+            log, key="k", seq="seq", payload=["event_type", "value"]
+        ).collect()
+    }
+    assert got == want
