@@ -6807,6 +6807,147 @@ def q_streaming_cdc_snapshot(spark, sf):
 
 
 
+# --------------------------------------------- CDC point-in-time lookup
+
+_CDC_ASOF_ORACLE = """
+WITH chg AS (
+  SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 2) AS k,
+         event_id AS seq,
+         ts + to_microseconds(event_id % 1000000) AS cts,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 3, 1) = '0'
+              THEN 'delete' ELSE 'upsert' END AS op,
+         event_type, value
+  FROM events),
+facts AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS k, ts, value
+  FROM events)
+SELECT CASE WHEN c.op IS NULL THEN 'none'
+            WHEN c.op = 'delete' THEN 'deleted'
+            ELSE 'live' END AS cfg_state,
+       coalesce(c.event_type, '(none)') AS cfg_type,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       max(f.value) AS max_value
+FROM facts f ASOF LEFT JOIN chg c
+  ON f.k = c.k AND f.ts >= c.cts
+GROUP BY 1, 2
+"""
+
+
+@register("cdc_asof_lookup", _CDC_ASOF_ORACLE)
+def q_cdc_asof_lookup(spark, sf):
+    """CDC + as-of COMPOSITION — the point-in-time lookup against a
+    mutable dimension: each fact resolves the latest change of its key
+    at its timestamp DIRECTLY from the raw changelog (operators/asof.py
+    over operators/cdc.py's stream): upserts carry their payload
+    forward, deletes carry a tombstone version whose fields are NULL —
+    the whole-version struct carry nulls the payload out exactly as
+    SCD2 semantics require, with no interval table materialized.
+    Change timestamps are made unique per key (+ event_id
+    microseconds) so the latest-at-ts is a total order in both engines.
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identical
+    changelog."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = F.md5(F.col("event_id").cast("string"))
+    chg = ev.select(
+        F.substring(h, 1, 2).alias("k"),
+        F.col("event_id").alias("seq"),
+        F.expr(
+            "timestampadd(MICROSECOND, CAST(event_id % 1000000 AS INT), ts)"
+        ).alias("cts"),
+        F.when(F.substring(h, 3, 1) == "0", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    facts = ev.select(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2).alias("k"),
+        "ts",
+        "value",
+    )
+    j = asof_join(
+        facts,
+        chg.select(
+            "k",
+            "cts",
+            F.col("op").alias("cfg_op"),
+            F.col("event_type").alias("cfg_et"),
+        ),
+        on="k",
+        ts="ts",
+        dim_ts="cts",
+        payload=["cfg_op", "cfg_et"],
+    )
+    return (
+        j.select(
+            F.when(F.col("cfg_op").isNull(), F.lit("none"))
+            .when(F.col("cfg_op") == "delete", F.lit("deleted"))
+            .otherwise(F.lit("live"))
+            .alias("cfg_state"),
+            F.coalesce(F.col("cfg_et"), F.lit("(none)")).alias("cfg_type"),
+            "value",
+        )
+        .groupBy("cfg_state", "cfg_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# ------------------------------------------------ semantic dup clusters
+
+_SEM_COS = (
+    "list_dot_product(a.embedding, b2.embedding)"
+    " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+    " * sqrt(list_dot_product(b2.embedding, b2.embedding)))"
+)
+
+_SEM_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       FROM embeddings),
+keyed AS ({_BANDED_KEYED_SQL}),
+vp AS (SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+       FROM keyed a JOIN keyed b2
+         ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+       WHERE round({_SEM_COS}, 4) >= 0.45),
+edges AS (SELECT va AS s, vb AS d FROM vp UNION ALL SELECT vb AS s, va AS d FROM vp),
+reach(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component FROM reach GROUP BY node)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY 1
+"""
+
+
+@register("semantic_dup_clusters", _SEM_CLUSTERS_ORACLE)
+def q_semantic_dup_clusters(spark, sf):
+    """Semantic duplicate CLUSTERS — the embedding-space counterpart of
+    dedup_clusters: banded-LSH cosine pairs (the oracled fixed twin)
+    collapsed into transitive components by the large-star/small-star
+    iteration, sized per canonical member.  This is the graph-based
+    curation step the k-NN machinery feeds (a paraphrase ring of 5 docs
+    is ONE cluster, not 10 pairwise rows).  Oracle: the recursive-CTE
+    min-label fixpoint over the identical pair list."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import banded_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pairs = banded_neardup_pairs(emb, 0.45, _BANDED_R, _BANDED_B, _DIM).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy(F.col("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
