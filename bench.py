@@ -175,6 +175,9 @@ STANDALONE_QUERIES = [
     "ingest_gap_audit",
     "response_size_histogram",
     "value_mad_outliers",
+    "streaming_cdc_snapshot",
+    "cdc_asof_lookup",
+    "semantic_dup_clusters",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -247,6 +250,8 @@ SF1_REUSE = [
     "key_skew_audit",
     "salted_join_rollup",
     "value_mad_outliers",
+    "cdc_asof_lookup",
+    "semantic_dup_clusters",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (
