@@ -107,3 +107,46 @@ def enrich_service(
     if service_expr is None:
         service_expr = tier_expr = F.lit(None).cast("string")
     return df.withColumn("service", service_expr).withColumn("tier", tier_expr)
+
+
+def grid_range_join(
+    points: DataFrame,
+    rects: DataFrame,
+    cell: int = 100,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Spatial point-in-rectangle join WITHOUT a nested-loop plan: the
+    2-D analog of the GeoIP prefix trick.  Spark plans a raw
+    ``p.x BETWEEN r.xmin AND r.xmax AND p.y BETWEEN ...`` theta join as
+    BroadcastNestedLoopJoin (or a cartesian) — O(points × rects) at
+    10^12 points.  Bucketing both sides onto a covering grid makes it an
+    EQUI-join: each point hashes to its one ``(x div cell, y div cell)``
+    cell; each rectangle explodes onto the cells it covers (bounded by
+    its area / cell²); the join key is the cell, and the exact
+    containment predicate filters survivors.  Inclusive bounds
+    ``[xmin, xmax] × [ymin, ymax]``; integer coordinates.
+
+    ``cell`` trades replication (big cells → fewer rect copies) against
+    join selectivity (small cells → fewer false cell-mates); set it near
+    the median rectangle side.  A point lands in exactly ONE cell, so no
+    output dedup is needed.
+    """
+    pc = points.withColumn("_cx", F.expr(f"{x} div {cell}")).withColumn(
+        "_cy", F.expr(f"{y} div {cell}")
+    )
+    rc = rects.select(
+        "*", F.explode(F.expr(f"sequence(xmin div {cell}, xmax div {cell})")).alias("_cx")
+    ).select(
+        "*", F.explode(F.expr(f"sequence(ymin div {cell}, ymax div {cell})")).alias("_cy")
+    )
+    return (
+        pc.join(rc, ["_cx", "_cy"])
+        .filter(
+            (F.col(x) >= F.col("xmin"))
+            & (F.col(x) <= F.col("xmax"))
+            & (F.col(y) >= F.col("ymin"))
+            & (F.col(y) <= F.col("ymax"))
+        )
+        .drop("_cx", "_cy")
+    )

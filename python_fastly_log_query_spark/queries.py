@@ -6807,6 +6807,121 @@ def q_streaming_cdc_snapshot(spark, sf):
 
 
 
+# ------------------------------------------------- log template mining
+
+
+@register(
+    "log_templates",
+    L
+    + """,
+vp AS (SELECT CASE WHEN event_id % 2 = 0
+                   THEN path || '/' || CAST(event_id AS VARCHAR)
+                        || '/v' || CAST(event_id % 7 AS VARCHAR)
+                        || '.' || CAST(event_id % 3 AS VARCHAR)
+                   ELSE path END AS path
+       FROM logs WHERE path IS NOT NULL),
+t AS (SELECT regexp_replace(
+               regexp_replace(path, '[0-9]+', '#', 'g'),
+               '#(\\.#)+', '#', 'g') AS template,
+             path
+      FROM vp)
+SELECT template, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_variants,
+       min(path) AS example
+FROM t GROUP BY template
+""",
+)
+def q_log_templates(spark, sf):
+    """Drain-style log TEMPLATE mining (the log-pipeline classic): mask
+    the variable tokens (numeric ids, dotted versions) out of each
+    request path and group — 10^12 raw paths collapse to the handful of
+    route templates an SRE actually reads, with per-template volume,
+    variant cardinality, and a deterministic example (min path).
+    Map-only masking in codegen (two regexp_replace passes, shared
+    Java/RE2 dialect) + one map-side-combined rollup.  Half the paths
+    get deterministic id/version segments spliced in (keyed on
+    event_id, identically in both engines) so the collapse is
+    witnessed: masked templates aggregate thousands of raw variants."""
+    p = _parsed(spark, sf)
+    varied = p.filter(F.col("path").isNotNull()).select(
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.col("path"),
+                F.lit("/"),
+                F.col("event_id").cast("string"),
+                F.lit("/v"),
+                (F.col("event_id") % 7).cast("string"),
+                F.lit("."),
+                (F.col("event_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.col("path"))
+        .alias("path")
+    )
+    t = varied.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("path"), "[0-9]+", "#"),
+            "#(\\.#)+",
+            "#",
+        ).alias("template"),
+        "path",
+    )
+    return t.groupBy("template").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("path").alias("n_variants"),
+        F.min("path").alias("example"),
+    )
+
+
+# ------------------------------------------------- spatial grid join
+
+
+@register(
+    "spatial_region_counts",
+    """
+WITH pts AS (SELECT (event_id * 7919) % 1000 AS x,
+                    (event_id * 104729) % 1000 AS y
+             FROM events),
+r AS (SELECT k AS rid,
+             (k * 137) % 800 AS xmin, (k * 137) % 800 + 150 AS xmax,
+             (k * 211) % 800 AS ymin, (k * 211) % 800 + 180 AS ymax
+      FROM range(20) t(k))
+SELECT rid, CAST(count(*) AS BIGINT) AS n_points
+FROM pts p JOIN r
+  ON p.x BETWEEN r.xmin AND r.xmax AND p.y BETWEEN r.ymin AND r.ymax
+GROUP BY rid
+""",
+)
+def q_spatial_region_counts(spark, sf):
+    """Spatial point-in-region counting via the covering-grid equi-join
+    (operators/enrich.py:grid_range_join): points and rectangles bucket
+    onto grid cells, join on the cell key (BroadcastHashJoin /
+    shuffled-hash at scale — never the BroadcastNestedLoopJoin a raw
+    2-D BETWEEN theta join plans), exact containment filters
+    survivors.  The geo-fence / region-rollup primitive Spark lacks
+    natively; coordinates and regions are derived deterministically
+    from event_id / range(20) so both engines see identical geometry.
+    Oracle: DuckDB runs the plain theta join."""
+    from .operators.enrich import grid_range_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pts = ev.select(
+        ((F.col("event_id") * 7919) % 1000).alias("x"),
+        ((F.col("event_id") * 104729) % 1000).alias("y"),
+    )
+    k = F.col("id")
+    rects = spark.range(20).select(
+        k.alias("rid"),
+        ((k * 137) % 800).alias("xmin"),
+        ((k * 137) % 800 + 150).alias("xmax"),
+        ((k * 211) % 800).alias("ymin"),
+        ((k * 211) % 800 + 180).alias("ymax"),
+    )
+    j = grid_range_join(pts, rects, cell=100)
+    return j.groupBy("rid").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 # --------------------------------------------- CDC point-in-time lookup
 
 _CDC_ASOF_ORACLE = """

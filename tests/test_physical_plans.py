@@ -927,3 +927,35 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
     )
     assert len(spread) == 8
     assert max(r["count"] for r in spread) < 2 * 2000 / 8
+
+
+def test_grid_range_join_equals_theta_join_no_bnlj(spark):
+    """grid_range_join (round 4): row-identical to the raw 2-D BETWEEN
+    theta join, but plans a hash join — never BroadcastNestedLoopJoin /
+    cartesian."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.enrich import grid_range_join
+
+    pts = spark.range(0, 3000).select(
+        ((F.col("id") * 7919) % 1000).alias("x"),
+        ((F.col("id") * 104729) % 1000).alias("y"),
+    )
+    k = F.col("id")
+    rects = spark.range(12).select(
+        k.alias("rid"),
+        ((k * 137) % 700).alias("xmin"), ((k * 137) % 700 + 230).alias("xmax"),
+        ((k * 211) % 700).alias("ymin"), ((k * 211) % 700 + 90).alias("ymax"),
+    )
+    got = grid_range_join(pts, rects, cell=100)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+    theta = pts.join(
+        rects,
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax")),
+    )
+    a = sorted(map(tuple, got.select("x", "y", "rid").collect()))
+    b = sorted(map(tuple, theta.select("x", "y", "rid").collect()))
+    assert a == b and len(a) > 0
