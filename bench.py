@@ -178,6 +178,10 @@ STANDALONE_QUERIES = [
     "streaming_cdc_snapshot",
     "cdc_asof_lookup",
     "semantic_dup_clusters",
+    "log_templates",
+    "spatial_region_counts",
+    "session_path_transitions",
+    "user_cohort_retention",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -252,6 +256,10 @@ SF1_REUSE = [
     "value_mad_outliers",
     "cdc_asof_lookup",
     "semantic_dup_clusters",
+    "log_templates",
+    "spatial_region_counts",
+    "session_path_transitions",
+    "user_cohort_retention",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (
