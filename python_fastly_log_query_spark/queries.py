@@ -6807,6 +6807,83 @@ def q_streaming_cdc_snapshot(spark, sf):
 
 
 
+# -------------------------------------------- session path transitions
+
+
+@register(
+    "session_path_transitions",
+    L
+    + """,
+seq AS (SELECT ip_address,
+               lag(path) OVER (PARTITION BY ip_address ORDER BY ts_s, event_id)
+                 AS path_from,
+               path AS path_to
+        FROM logs WHERE ip_address IS NOT NULL AND path IS NOT NULL)
+SELECT path_from, path_to, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE path_from IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_session_path_transitions(spark, sf):
+    """User-flow transition counts — the Markov edge list dashboards
+    render as a flow diagram: per visitor (ip), consecutive request
+    pairs (lag over the per-IP timeline, event_id tiebreak for a total
+    order), rolled up per (from, to) edge.  One shuffle + sort (the lag
+    window; hot-IP serialization takes the sessionization chunk
+    hardening), then a map-side-combined edge rollup bounded by
+    paths²."""
+    p = _parsed(spark, sf)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ip_address").orderBy("timestamp", "event_id")
+    seq = (
+        p.filter(F.col("ip_address").isNotNull() & F.col("path").isNotNull())
+        .select(
+            "ip_address",
+            F.lag("path").over(w).alias("path_from"),
+            F.col("path").alias("path_to"),
+        )
+        .filter(F.col("path_from").isNotNull())
+    )
+    return seq.groupBy("path_from", "path_to").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ------------------------------------------------- cohort retention
+
+
+@register(
+    "user_cohort_retention",
+    """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(ud.d - c.cohort AS BIGINT) AS age_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_user_cohort_retention(spark, sf):
+    """Cohort retention matrix — the classic product-analytics triangle:
+    users grouped by first-seen day, counted on each later active day
+    by age.  Two aggregates ((user, day) distinct; first-day per user)
+    + one user-keyed join (broadcastable: the cohort dim is one row per
+    user... at 10^12 events, users are the dimension axis and the join
+    co-partitions on user_id — the distinct already shuffled that key,
+    so the join reuses the partitioning).  Day arithmetic stays in DATE
+    integers (datediff == DuckDB date subtraction)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    c = ud.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    j = ud.join(c, "user_id")
+    return j.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("age_days"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # ------------------------------------------------- log template mining
 
 
