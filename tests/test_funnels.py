@@ -73,3 +73,41 @@ def test_hopping_window_double_counts_each_event_once_per_window(spark):
 
     total = out.agg(F.sum("n")).collect()[0][0]
     assert total == 2 * ev.count()
+
+
+def test_session_path_transitions_orders_by_time_then_event_id(spark):
+    """Transitions must follow the per-IP timeline with the event_id
+    tiebreak — an equal-timestamp pair still yields a deterministic
+    edge direction."""
+    from conftest import SF_SMALL
+
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["session_path_transitions"](spark, SF_SMALL)
+    rows = out.collect()
+    total = sum(r["n"] for r in rows)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    from pyspark.sql import functions as F
+
+    n_ips = 15 if "0.001" in SF_SMALL else 150
+    # every request except each IP's first produces exactly one edge
+    parsed_n = ev.count()
+    assert total == parsed_n - n_ips
+
+
+def test_user_cohort_retention_triangle_invariants(spark):
+    """Cohort matrix invariants: age 0 exists for every cohort (the
+    first-seen day itself), ages are non-negative, and each cohort's
+    age-0 count is its maximum (retention never exceeds cohort size)."""
+    from conftest import SF_SMALL
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["user_cohort_retention"](spark, SF_SMALL).collect()
+    by_cohort = {}
+    for r in rows:
+        assert r["age_days"] >= 0
+        by_cohort.setdefault(r["cohort_day"], {})[r["age_days"]] = r["n_users"]
+    for cohort, ages in by_cohort.items():
+        assert 0 in ages, f"cohort {cohort} missing its own first day"
+        assert ages[0] == max(ages.values())
