@@ -206,3 +206,87 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
         F.expr("n_both * d_union_est div n_u").alias("d_intersect_est"),
         F.expr("1000000 * n_both div n_u").alias("jaccard_ppm"),
     )
+
+
+def kmv_bottom_k_sides(hashes: DataFrame, k: int) -> DataFrame:
+    """Two KMV sketches in ONE input scan: ``hashes`` carries
+    ``(h, in_a, in_b)`` membership flags (an item may belong to both
+    sides — overlapping snapshots), the partition-local Arrow fold
+    maintains both bottom-k states simultaneously, and the exact
+    per-side merge runs over <= 2·partitions·k rows.  Returns
+    ``(side, h)`` with side in ('a', 'b') — bit-identical to running
+    :func:`kmv_bottom_k` per side, at half the scan cost (the hash
+    pipeline upstream is usually the expensive part)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        sa = np.empty(0, dtype=np.int64)
+        sb = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            hs = pdf["h"].to_numpy(dtype="int64")
+            ina = pdf["in_a"].to_numpy(dtype=bool)
+            inb = pdf["in_b"].to_numpy(dtype=bool)
+            sa = np.unique(np.concatenate([sa, hs[ina]]))[:k]
+            sb = np.unique(np.concatenate([sb, hs[inb]]))[:k]
+        yield pd.DataFrame(
+            {
+                "side": ["a"] * len(sa) + ["b"] * len(sb),
+                "h": np.concatenate([sa, sb]),
+            }
+        )
+
+    from pyspark.sql import Window
+
+    partials = hashes.select("h", "in_a", "in_b").mapInPandas(
+        gen, "side string, h long"
+    )
+    w = Window.partitionBy("side").orderBy("h")
+    return (
+        partials.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_overlap_flagged(flagged: DataFrame, k: int = 256) -> DataFrame:
+    """:func:`kmv_overlap` over a SINGLE flagged hash frame
+    ``(h, in_a, in_b)`` — one corpus scan builds both sketches
+    (:func:`kmv_bottom_k_sides`); estimates are identical to the
+    two-scan path by construction."""
+    sides = kmv_bottom_k_sides(flagged, k)
+    from .dedup import selfjoin_ready
+
+    sides = selfjoin_ready(sides)
+    ska = sides.filter(F.col("side") == "a").select("h")
+    skb = sides.filter(F.col("side") == "b").select("h")
+    sku = ska.union(skb).distinct().orderBy("h").limit(k)
+    ea = ska.agg(F.count("*").alias("n_a"), F.max("h").alias("hk_a"))
+    eb = skb.agg(F.count("*").alias("n_b"), F.max("h").alias("hk_b"))
+    eu = sku.agg(F.count("*").alias("n_u"), F.max("h").alias("hk_u"))
+    rho = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    est = (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(rho)
+        .select(
+            _kmv_est("n_a", "hk_a", k).alias("d_a_est"),
+            _kmv_est("n_b", "hk_b", k).alias("d_b_est"),
+            _kmv_est("n_u", "hk_u", k).alias("d_union_est"),
+            F.col("n_both"),
+            F.col("n_u"),
+        )
+    )
+    return est.select(
+        "d_a_est",
+        "d_b_est",
+        "d_union_est",
+        F.expr("n_both * d_union_est div n_u").alias("d_intersect_est"),
+        F.expr("1000000 * n_both div n_u").alias("jaccard_ppm"),
+    )

@@ -6036,16 +6036,23 @@ def q_kmv_shingle_overlap(spark, sf):
     bit-for-bit; accuracy vs exact counts is pinned in tests/test_sketch.
     """
     from .operators.dedup import word_shingles
-    from .operators.sketch import kmv_hash, kmv_overlap
+    from .operators.sketch import kmv_hash, kmv_overlap_flagged
+    from .plans.partitioning import spread
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    base = docs.select(
+    # ONE corpus scan builds BOTH sketches (kmv_bottom_k_sides) — the
+    # membership flags ride the hash row; spread() only lifts the
+    # under-partitioned testdata scan to session parallelism (absent
+    # with >= parallelism input splits, the parse-pipeline precedent)
+    docs = spread(spark.read.parquet(f"{sf}/documents.parquet"))
+    flagged = docs.select(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hx"),
         F.explode(word_shingles(F.col("text"))).alias("s"),
-    ).select("hx", kmv_hash(F.col("s")).alias("h"))
-    a = base.filter(F.col("hx") < "c").select("h")
-    b = base.filter(F.col("hx") >= "4").select("h")
-    return kmv_overlap(a, b, k=_KMV_K)
+    ).select(
+        kmv_hash(F.col("s")).alias("h"),
+        (F.col("hx") < "c").alias("in_a"),
+        (F.col("hx") >= "4").alias("in_b"),
+    )
+    return kmv_overlap_flagged(flagged, k=_KMV_K)
 
 
 # -------------------------------------------------------- PPS sampling

@@ -188,3 +188,34 @@ def test_kmv_partition_state_bounded(spark):
         .collect()[0]["m"]
     )
     assert per_part <= 64
+
+
+def test_kmv_one_pass_dual_sketch_equals_two_pass(spark):
+    """kmv_bottom_k_sides / kmv_overlap_flagged: one scan with
+    membership flags must produce bit-identical sketches and estimates
+    to two independent kmv_bottom_k passes."""
+    from python_fastly_log_query_spark.operators.sketch import (
+        kmv_bottom_k,
+        kmv_bottom_k_sides,
+        kmv_hash,
+        kmv_overlap,
+        kmv_overlap_flagged,
+    )
+
+    base = spark.range(0, 40_000).select(
+        kmv_hash(F.col("id").cast("string")).alias("h"),
+        (F.col("id") < 30_000).alias("in_a"),
+        (F.col("id") >= 10_000).alias("in_b"),
+    ).repartition(8)
+    sides = {
+        (r["side"], r["h"]) for r in kmv_bottom_k_sides(base, 64).collect()
+    }
+    a = base.filter("in_a").select("h")
+    b = base.filter("in_b").select("h")
+    want = {("a", r["h"]) for r in kmv_bottom_k(a, 64).collect()} | {
+        ("b", r["h"]) for r in kmv_bottom_k(b, 64).collect()
+    }
+    assert sides == want
+    (got,) = kmv_overlap_flagged(base, k=64).collect()
+    (ref,) = kmv_overlap(a, b, k=64).collect()
+    assert tuple(got) == tuple(ref)
