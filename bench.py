@@ -182,6 +182,7 @@ STANDALONE_QUERIES = [
     "spatial_region_counts",
     "session_path_transitions",
     "user_cohort_retention",
+    "bloom_join_rollup",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -260,6 +261,7 @@ SF1_REUSE = [
     "spatial_region_counts",
     "session_path_transitions",
     "user_cohort_retention",
+    "bloom_join_rollup",
 ]
 SF1_EXPLAIN = {
     "embedding_neardup_banded_auto": (

@@ -1727,3 +1727,46 @@ def pps_systematic_sample(
         .filter(F.col("n_hits") >= 1)
         .select(id_col, *carry, "w", "n_hits")
     )
+
+
+def bloom_semijoin(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-prefiltered equi-join, fact side: keep only the fact rows
+    whose ``key`` MIGHT match ``dim`` — the explicit form of the
+    runtime row-level filtering AQE injects for selective joins, usable
+    when the planner can't (non-parquet sources, pre-built frames,
+    key expressions).  With a selective dim, the join's fact-side
+    shuffle shrinks by the non-match fraction BEFORE any exchange; the
+    dim is aggregated into an input-sized bitset (:func:`bloom_params`
+    sizing — never a fixed m) and broadcast, the probe is one
+    vectorized Arrow pass.  False positives (~1% at 10 bits/key) are
+    deterministic (md5) and removed by the join itself — the composed
+    result is row-identical to the plain join, which is the registered
+    oracle's check.  Returns the prefiltered ``facts`` (same schema).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = facts.sparkSession
+    n = dim.count()
+    m, k = bloom_params(n, bits_per_key, n_hashes)
+    bits = bloom_bitset(
+        dim.select(F.col(key).cast("string").alias("fp")), m, k
+    )
+    bbits = spark.sparkContext.broadcast(bits)
+
+    @pandas_udf("boolean")
+    def maybe_in(pos: pd.Series) -> pd.Series:
+        bs = bbits.value
+        arr = np.vstack(pos.to_numpy())
+        hit = (bs[arr // 8] >> (arr % 8).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return facts.withColumn(
+        "_maybe",
+        maybe_in(bloom_positions(F.col(key).cast("string"), m, k)),
+    ).filter(F.col("_maybe")).drop("_maybe")

@@ -6891,6 +6891,39 @@ def q_user_cohort_retention(spark, sf):
     ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
+# ------------------------------------------------- bloom-prefiltered join
+
+
+@register(
+    "bloom_join_rollup",
+    """
+WITH dim AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1
+""",
+)
+def q_bloom_join_rollup(spark, sf):
+    """Bloom-prefiltered selective join (operators/corpus.py:
+    bloom_semijoin): the flagged-user dim (1/7 of users) is aggregated
+    into a broadcast bitset and the fact scan drops ~6/7 of its rows
+    BEFORE the join's shuffle — the explicit runtime-filter shape for
+    when AQE can't inject one.  Deterministic md5 false positives
+    (~1%) are removed by the join itself, so the composed result is
+    row-identical to the plain join — the oracle."""
+    from .operators.corpus import bloom_semijoin
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = ev.select("user_id").distinct().filter(F.col("user_id") % 7 == 0)
+    pre = bloom_semijoin(ev, dim, key="user_id")
+    return pre.join(dim, "user_id").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ------------------------------------------------- log template mining
 
 

@@ -971,3 +971,25 @@ def test_pmi_top_bigrams_ranks_planted_collocation(spark):
     assert all(ny > s for s in the_scores)
     # min_count: the one-off bigrams never appear
     assert ("one", "off") not in pairs
+
+
+def test_bloom_semijoin_keeps_all_matches_prunes_most_nonmatches(spark):
+    """bloom_semijoin: zero false negatives (every matching fact row
+    survives the prefilter) and the non-match survival rate stays near
+    the ~1% design FP rate at 10 bits/key."""
+    from pyspark.sql import functions as F
+
+    from python_fastly_log_query_spark.operators.corpus import bloom_semijoin
+
+    facts = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20_000, 40).select(F.col("id").alias("k"))  # 500 keys
+    pre = bloom_semijoin(facts, dim, key="k")
+    kept = {r["k"] for r in pre.collect()}
+    matches = {r["k"] for r in dim.collect()}
+    assert matches <= kept  # no false negatives, ever
+    fp_rate = (len(kept) - len(matches)) / (20_000 - len(matches))
+    assert fp_rate < 0.05  # ~1% by design; generous ceiling
+    # composed with the join, the prefilter is row-invisible
+    got = sorted(r["k"] for r in pre.join(dim, "k").collect())
+    want = sorted(r["k"] for r in facts.join(dim, "k").collect())
+    assert got == want
