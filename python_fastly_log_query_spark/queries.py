@@ -7180,6 +7180,97 @@ def q_semantic_dup_clusters(spark, sf):
     )
 
 
+@register(
+    "streaming_error_attribution",
+    L
+    + """
+, req AS (
+  SELECT ip_address, ts_s AS req_ts FROM logs
+  WHERE ip_address IS NOT NULL AND status_code IS NOT NULL AND status_code < 400
+), err AS (
+  SELECT ip_address, ts_s AS err_ts FROM logs
+  WHERE ip_address IS NOT NULL AND status_code >= 500
+)
+SELECT r.ip_address AS ip_address, CAST(count(*) AS BIGINT) AS attributed
+FROM req r JOIN err e
+  ON e.ip_address = r.ip_address
+ AND e.err_ts >= r.req_ts
+ AND e.err_ts <= r.req_ts + INTERVAL 21600 SECOND
+GROUP BY 1
+ORDER BY attributed DESC, ip_address ASC
+LIMIT 20
+""",
+)
+def q_streaming_error_attribution(spark, sf):
+    """Stream-stream interval join (streaming/jobs.py:
+    interval_join_streams) — the last Structured-Streaming join shape
+    the engine was missing: attribute every 5xx error to the successful
+    requests from the same IP in the preceding 6 hours, both sides
+    arriving as streams.  Requests and errors land as two parquet-table
+    streams (multiple files on the request side so the join state is
+    exercised ACROSS micro-batches, not just within one); the joined
+    pairs append into a memory sink and roll up per IP.
+
+    State contract at 10^12: both sides buffer only rows younger than
+    the watermark horizon — eviction is driven by the time-interval
+    bound, so state is O(events per horizon), not O(stream).  The
+    registered run pins the horizon beyond the table's 30-day span
+    because AvailableNow over a repartitioned table has no cross-file
+    time order (exactness first — nothing can be evicted before its
+    match); the eviction-live configuration over a time-ordered landing
+    zone is pinned by tests/test_stream_join.py (rows_removed > 0 with
+    the batch-join result still exact)."""
+    from .streaming.jobs import (
+        interval_join_streams,
+        run_available_now,
+        state_metrics,
+        stream_docs,
+    )
+
+    work, name = _stream_scratch(spark, "stream_sjoin")
+    p = _parsed(spark, sf).filter(
+        F.col("ip_address").isNotNull() & F.col("status_code").isNotNull()
+    )
+    p.filter(F.col("status_code") < 400).select(
+        F.col("ip_address").alias("req_ip"), F.col("timestamp").alias("req_ts")
+    ).repartition(4).write.mode("overwrite").parquet(f"{work}/req")
+    p.filter(F.col("status_code") >= 500).select(
+        F.col("ip_address").alias("err_ip"), F.col("timestamp").alias("err_ts")
+    ).repartition(2).write.mode("overwrite").parquet(f"{work}/err")
+    sreq = stream_docs(
+        spark,
+        f"{work}/req",
+        schema="req_ip string, req_ts timestamp",
+        max_files_per_trigger=2,
+    )
+    serr = stream_docs(spark, f"{work}/err", schema="err_ip string, err_ts timestamp")
+    joined = interval_join_streams(
+        sreq, serr, "req_ip", "err_ip", "req_ts", "err_ts", 21600,
+        watermark="365 days",
+    )
+    # the join's state-store partition count freezes at checkpoint
+    # creation and every partition pays fixed open/commit cost per
+    # micro-batch — size it to the horizon's event volume, not the
+    # session's shuffle default (same contract as the bounded-dedup run)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_available_now(
+            joined.select("req_ip"), f"{work}/ckpt", queryName=name,
+            outputMode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    LAST_STREAM_STATE_METRICS["streaming_error_attribution"] = state_metrics(q)
+    return (
+        spark.table(name)
+        .groupBy(F.col("req_ip").alias("ip_address"))
+        .agg(F.count(F.lit(1)).alias("attributed"))
+        .orderBy(F.desc("attributed"), F.asc("ip_address"))
+        .limit(20)
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

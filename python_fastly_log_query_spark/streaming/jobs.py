@@ -213,6 +213,50 @@ def dedup_within_watermark(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    upper_seconds: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join — the attribution
+    shape (reference analog: the per-IP error drill-downs of
+    /root/reference/src/analyze/analytics.py joined against preceding
+    traffic): match every right-stream event to the left-stream events
+    with the same key whose timestamp precedes it by at most
+    ``upper_seconds``.
+
+    Both sides are buffered in the state store until the join can prove
+    no future match exists, and BOTH watermarks drive eviction: a left
+    row is droppable once the right watermark passes
+    ``ts_left + upper_seconds``, a right row once the left watermark
+    passes ``ts_right`` — so state size is O(events per horizon per
+    side), not O(stream length).  Inner-join results emit immediately
+    (append mode); only outer joins wait for the watermark.
+
+    Exactness contract: rows later than ``watermark`` behind the
+    stream's max event time can be evicted before their match arrives,
+    so the horizon must exceed the stream's worst-case disorder.  Column
+    names must be distinct across the two sides (rename before calling —
+    Spark resolves the join condition on the combined schema).
+    """
+    lw = left.withWatermark(ts_left, watermark)
+    rw = right.withWatermark(ts_right, watermark)
+    cond = (
+        (F.col(key_left) == F.col(key_right))
+        & (F.col(ts_right) >= F.col(ts_left))
+        & (
+            F.col(ts_right)
+            <= F.col(ts_left) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def state_metrics(query: Any) -> list[dict]:
     """Per-micro-batch state-store metrics from a finished StreamingQuery:
     ``[{batch, state_rows, rows_updated, rows_removed}, ...]`` — the
