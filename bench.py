@@ -183,6 +183,7 @@ STANDALONE_QUERIES = [
     "session_path_transitions",
     "user_cohort_retention",
     "bloom_join_rollup",
+    "streaming_error_attribution",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -256,7 +257,6 @@ SF1_REUSE = [
     "salted_join_rollup",
     "value_mad_outliers",
     "cdc_asof_lookup",
-    "semantic_dup_clusters",
     "log_templates",
     "spatial_region_counts",
     "session_path_transitions",
@@ -264,6 +264,16 @@ SF1_REUSE = [
     "bloom_join_rollup",
 ]
 SF1_EXPLAIN = {
+    "semantic_dup_clusters": (
+        "excluded as-registered: it composes banded LSH pairs at threshold "
+        "0.45, where the TRUE above-threshold pair count grows ~N^2 by "
+        "SEMANTICS (same reason embedding_neardup_banded_auto is excluded) "
+        "— the connected-components pass downstream is linear in edges but "
+        "the edge list itself is quadratic at that threshold (measured "
+        "14.1x wall at 10x data before exclusion).  The scale-honest "
+        "clustering config is threshold>=0.8, swept fresh at both scales "
+        "as semantic_clusters_t08 in the paired extras"
+    ),
     "embedding_neardup_banded_auto": (
         "excluded from the sweep: at threshold 0.45 the TRUE above-threshold "
         "pair count itself grows ~N^2 (cos>=0.45 is ~3.6 sigma on isotropic "
@@ -656,6 +666,7 @@ def _sf1_section(spark, qmap, base: dict, flagship) -> dict:
     entry above that carries a named explanation or is a finding."""
     from python_fastly_log_query_spark.datagen import generate_sf_tables
     from python_fastly_log_query_spark.operators.dedup import (
+        connected_components,
         release_persists,
         simhash_neardup_pairs,
     )
@@ -719,6 +730,30 @@ def _sf1_section(spark, qmap, base: dict, flagship) -> dict:
                     None,
                     64,
                     target_recall=0.999,
+                )
+            ),
+        ),
+        (
+            "semantic_clusters_t08",
+            lambda sf: noop(
+                (
+                    lambda pairs: connected_components(
+                        pairs.select(
+                            F.col("vec_a").alias("doc_a"),
+                            F.col("vec_b").alias("doc_b"),
+                        )
+                    )
+                    .groupBy("component")
+                    .agg(F.count(F.lit(1)).alias("n_members"))
+                )(
+                    banded_neardup_pairs(
+                        spark.read.parquet(f"{sf}/embeddings.parquet"),
+                        0.8,
+                        None,
+                        None,
+                        64,
+                        target_recall=0.999,
+                    )
                 )
             ),
         ),

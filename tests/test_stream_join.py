@@ -114,6 +114,86 @@ def test_interval_join_evicts_state_and_matches_batch(spark, tmp_path):
     assert max(m["state_rows"] for m in metrics) < total_rows, metrics
 
 
+def test_interval_join_checkpoint_incremental(spark, tmp_path):
+    """Landing-zone contract: a SECOND AvailableNow run over the same
+    checkpoint processes only files that landed after the first run, and
+    the accumulated sink equals the batch join over everything — the
+    streaming analog of the batch kill-resume lineage (exactly-once
+    across runs, no reprocessing of completed files)."""
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    _write_hour_files(left_dir, "l", 3, 4)
+    _write_hour_files(right_dir, "r", 3, 4)
+
+    def _stream(path, side):
+        return SJ.stream_docs(
+            spark, path, schema=f"{side}_key string, {side}_ts long"
+        ).select(
+            f"{side}_key",
+            F.timestamp_seconds(F.col(f"{side}_ts")).alias(f"{side}_tstamp"),
+        )
+
+    def _run(sink_dir):
+        joined = SJ.interval_join_streams(
+            _stream(left_dir, "l"),
+            _stream(right_dir, "r"),
+            "l_key", "r_key", "l_tstamp", "r_tstamp",
+            upper_seconds=600,
+            watermark="30 days",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sink = str(tmp_path / "sink")
+    _run(sink)
+    n_first = spark.read.parquet(sink).count()
+    assert n_first > 0
+
+    # more files land (later event times, later mtimes), same checkpoint
+    for h in range(3, 5):
+        for d, side in ((left_dir, "l"), (right_dir, "r")):
+            keys, ts = [], []
+            for j in range(4):
+                keys.append(f"k{j % 3}")
+                ts.append(BASE + h * 3600 + j * 300 + (120 if side == "r" else 0))
+            papq.write_table(
+                pa.table(
+                    {
+                        f"{side}_key": pa.array(keys, pa.string()),
+                        f"{side}_ts": pa.array(ts, pa.int64()),
+                    }
+                ),
+                f"{d}/f{h:02d}.parquet",
+            )
+            t = BASE + h * 60
+            os.utime(f"{d}/f{h:02d}.parquet", (t, t))
+    _run(sink)
+
+    lb = spark.read.parquet(left_dir).select(
+        "l_key", F.timestamp_seconds("l_ts").alias("l_tstamp")
+    )
+    rb = spark.read.parquet(right_dir).select(
+        "r_key", F.timestamp_seconds("r_ts").alias("r_tstamp")
+    )
+    want = lb.join(
+        rb,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_tstamp") >= F.col("l_tstamp"))
+        & (F.col("r_tstamp") <= F.col("l_tstamp") + F.expr("INTERVAL 600 SECONDS")),
+        "inner",
+    ).count()
+    got = spark.read.parquet(sink).count()
+    assert got == want
+    assert got > n_first  # second run really added the new files' matches
+
+
 def test_registered_attribution_state_crosses_batches(spark):
     """The registered query runs multi-batch on the request side
     (maxFilesPerTrigger=2 over 4 files) — its state metrics must show
