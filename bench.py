@@ -694,7 +694,9 @@ def _sf1_section(spark, qmap, base: dict, flagship) -> dict:
     # the host is under external load — anything skipped is NAMED in the
     # output (no silent truncation), and a local run with
     # SPARK_GRAFT_SF1_BUDGET=0 (unlimited) covers the full list
-    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420")) or float("inf")
+    # 540s covers the full list incl. the two fresh SQL controls, which a
+    # 420s budget dropped every round once the paired extras grew
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "540")) or float("inf")
     t_start = time.perf_counter()
     skipped: list[str] = []
 

@@ -107,11 +107,56 @@ def test_interval_join_evicts_state_and_matches_batch(spark, tmp_path):
     assert sum(r.n for r in got) > 0
 
     metrics = SJ.state_metrics(q)
+    # the plan must be the engine's streaming symmetric hash join (state
+    # buffered on both sides), not a fallback
+    assert {m["operator"] for m in metrics} == {"symmetricHashJoin"}, metrics
     assert len({m["batch"] for m in metrics}) >= n_hours  # state crossed batches
     assert sum(m["rows_removed"] or 0 for m in metrics) > 0, metrics
     # bounded: live state never approaches the full stream volume
     total_rows = 2 * n_hours * per_hour
     assert max(m["state_rows"] for m in metrics) < total_rows, metrics
+
+
+def test_interval_join_batching_invariant(spark, tmp_path):
+    """The joined result must not depend on how the backlog is split into
+    micro-batches: 1 file/trigger, 2 files/trigger, and
+    swallow-the-backlog must all produce the same multiset of pairs (the
+    state store makes cross-batch matches equal to within-batch ones)."""
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    _write_hour_files(left_dir, "l", 4, 5)
+    _write_hour_files(right_dir, "r", 4, 5)
+
+    def _run(mfpt, tag):
+        def _stream(path, side):
+            return SJ.stream_docs(
+                spark,
+                path,
+                schema=f"{side}_key string, {side}_ts long",
+                max_files_per_trigger=mfpt,
+            ).select(
+                f"{side}_key",
+                F.timestamp_seconds(F.col(f"{side}_ts")).alias(f"{side}_tstamp"),
+            )
+
+        joined = SJ.interval_join_streams(
+            _stream(left_dir, "l"),
+            _stream(right_dir, "r"),
+            "l_key", "r_key", "l_tstamp", "r_tstamp",
+            upper_seconds=600,
+            watermark="30 days",
+        )
+        SJ.run_available_now(
+            joined, str(tmp_path / f"ckpt_{tag}"), queryName=f"t_bi_{tag}",
+            outputMode="append",
+        )
+        return sorted(
+            tuple(r) for r in spark.table(f"t_bi_{tag}").collect()
+        )
+
+    results = [_run(1, "one"), _run(2, "two"), _run(None, "all")]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
 
 
 def test_interval_join_checkpoint_incremental(spark, tmp_path):
