@@ -184,6 +184,7 @@ STANDALONE_QUERIES = [
     "user_cohort_retention",
     "bloom_join_rollup",
     "streaming_error_attribution",
+    "compaction_plan",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured

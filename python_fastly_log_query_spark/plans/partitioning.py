@@ -130,6 +130,51 @@ def zorder_bins(df, x: str, y: str, bits: int = 8, bin_shift: int = 6):
     )
 
 
+def compaction_bins(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "day",
+    file_col: str = "file",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner (Iceberg ``rewrite_data_files``
+    binpack / Delta OPTIMIZE shape): group each partition's files into
+    rewrite bins of ~``target_bytes`` so a maintenance job can coalesce
+    thousands of trickle-written small files into scan-efficient ones.
+
+    Packing rule: files ordered by (size DESC, name ASC), each file's
+    bin is its EXCLUSIVE running-sum start offset ``div target`` — the
+    same greedy sequential packing Spark's own FilePartition planner
+    uses for input splits (maxPartitionBytes), made deterministic by
+    the total ordering.  Unlike first-fit-decreasing it is a pure
+    window expression (no per-bin state), and it keeps FFD's fill
+    guarantee in amortized form: for every non-final bin ``b``, the
+    cumulative bytes through bin ``b`` equal the next bin's first-file
+    start offset, which is ``>= (b+1) * target_bytes`` — so k bins
+    always hold >= k targets of data (an individual bin can come up
+    short only by what its predecessor's last file spilled past the
+    boundary), and rewrite output-file count is bounded by
+    ``total/target + n_partitions``.
+
+    Scale: this plans over FILE METADATA, not data — a 100 TB table at
+    128 MB files is ~10^6 rows.  One shuffle by ``part_col`` (window
+    partition = files-per-day, thousands at most); the integer ``div``
+    keeps bin ids exact where float floor(start/target) could misplace
+    a boundary file past 2^53 bytes of partition cumsum.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return files.withColumn("_start", start).withColumn(
+        "bin", F.expr(f"_start div {int(target_bytes)}L")
+    ).drop("_start")
+
+
 def missing_days(df, ts_col: str = "ts"):
     """Backfill planner: calendar days between the table's min and max
     event day with NO rows present — the gap list an ingestion scheduler

@@ -7271,6 +7271,66 @@ def q_streaming_error_attribution(spark, sf):
     )
 
 
+@register(
+    "compaction_plan",
+    """
+WITH inv AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         event_type || '-' || CAST(user_id % 8 AS VARCHAR) AS file,
+         CAST(sum(length(coalesce(props, '')) + 64) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2
+), packed AS (
+  SELECT day, bytes,
+         CAST(COALESCE(SUM(bytes) OVER (
+             PARTITION BY day ORDER BY bytes DESC, file ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024
+           AS BIGINT) AS bin
+  FROM inv
+)
+SELECT day, bin, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes
+FROM packed GROUP BY day, bin
+""",
+)
+def q_compaction_plan(spark, sf):
+    """Small-file compaction plan (plans/partitioning.py:
+    compaction_bins) — the table-maintenance step every trickle-written
+    landing zone needs: the fan-out sink (operators/route.py) writes one
+    file per (day, route) per micro-batch, and a year of that is 10^6+
+    tiny files whose open/seek cost dominates every downstream scan.
+    The planner packs each day's files into ~target-byte rewrite bins
+    via the deterministic size-desc running-sum rule; reported here as
+    per-(day, bin) file counts and byte totals.
+
+    The file inventory is derived deterministically from the events
+    table (one "file" per (day, event_type, user-shard) with its
+    payload bytes) so the oracle can replay it; at deploy the inventory
+    comes from the catalog's file listing — metadata-sized either way.
+    Fill invariant (pinned in tests/test_partitioning_config.py):
+    cumulative bytes through any non-final bin b >= (b+1) * 1024."""
+    from .plans.partitioning import compaction_bins
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    inv = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.concat(
+            F.col("event_type"), F.lit("-"), (F.col("user_id") % 8).cast("string")
+        ).alias("file"),
+    ).agg(
+        F.sum(F.length(F.coalesce("props", F.lit(""))) + F.lit(64))
+        .cast("long")
+        .alias("bytes")
+    )
+    return (
+        compaction_bins(inv, target_bytes=1024)
+        .groupBy("day", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -132,3 +132,49 @@ def test_missing_days_finds_planted_gaps_and_none_when_full(spark):
         "id long, ts timestamp",
     )
     assert missing_days(full, "ts").count() == 0
+
+
+def test_compaction_bins_packing_and_fill_invariant(spark):
+    """compaction_plan's planner: deterministic packing, python-replica
+    equality, and the amortized fill invariant (cumulative bytes through
+    any non-final bin b >= (b+1) * target)."""
+    from python_fastly_log_query_spark.plans.partitioning import compaction_bins
+
+    rows = [
+        ("d1", f"f{i:02d}", sz)
+        for i, sz in enumerate([1500, 900, 900, 100, 100, 60, 40, 7])
+    ] + [("d2", "only", 5)]
+    files = spark.createDataFrame(rows, "day string, file string, bytes long")
+    out = compaction_bins(files, target_bytes=1024)
+    got = {(r.day, r.file): r.bin for r in out.collect()}
+
+    # python replica of the packing rule
+    want = {}
+    for day in ("d1", "d2"):
+        start = 0
+        for _, f, sz in sorted(
+            (r for r in rows if r[0] == day), key=lambda r: (-r[2], r[1])
+        ):
+            want[(day, f)] = start // 1024
+            start += sz
+    assert got == want
+    # a 1-file partition plans as a single bin 0
+    assert got[("d2", "only")] == 0
+
+    # fill invariant per partition
+    agg = (
+        out.groupBy("day", "bin")
+        .sum("bytes")
+        .withColumnRenamed("sum(bytes)", "bin_bytes")
+        .collect()
+    )
+    by_day = {}
+    for r in agg:
+        by_day.setdefault(r.day, []).append((r.bin, r.bin_bytes))
+    for day, bins in by_day.items():
+        bins.sort()
+        run = 0
+        for i, (b, bb) in enumerate(bins):
+            run += bb
+            if i < len(bins) - 1:
+                assert run >= (b + 1) * 1024, (day, b, run)
