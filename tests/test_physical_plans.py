@@ -959,3 +959,16 @@ def test_grid_range_join_equals_theta_join_no_bnlj(spark):
     a = sorted(map(tuple, got.select("x", "y", "rid").collect()))
     b = sorted(map(tuple, theta.select("x", "y", "rid").collect()))
     assert a == b and len(a) > 0
+
+
+def test_compaction_plan_two_exchanges_rollup_reuses_day_partitioning(spark):
+    """compaction_plan (plans/partitioning.py:compaction_bins): inventory
+    rollup + day-window are the ONLY exchanges — the final (day, bin)
+    aggregate must reuse the window's hash(day) partitioning (hash(day)
+    clusters every (day, bin) group), and the whole plan stays JVM-side."""
+    from python_fastly_log_query_spark.queries import _REGISTRY
+
+    plan = _plan(_REGISTRY["compaction_plan"][0](spark, SF_SMALL))
+    assert _nodes(plan, "Exchange") == 2
+    assert _nodes(plan, "Window") == 1
+    assert "Python" not in plan and "Arrow" not in plan
