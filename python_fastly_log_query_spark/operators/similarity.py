@@ -757,23 +757,39 @@ def kmeans_assign(
 
 
 def kmeans_sql_parts(
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 3,
     scale: int = KMEANS_SCALE,
     table: str = "embeddings",
     id_col: str = "vec_id",
 ) -> tuple[str, str]:
     """(ctes, final-select) halves of :func:`kmeans_sql`, so composed
-    oracles (semdedup over learned cells) can keep unrolling on top."""
+    oracles (semdedup over learned cells) can keep unrolling on top.
+
+    ``k`` may also be a SQL scalar-expression STRING (e.g. a subquery
+    deriving the cell count from the corpus size) — the dynamic-k path
+    the scale-honest registry configs use (``knn_graph_scaled``): the
+    growth law itself is replayed inside the oracle, so the SAME
+    statement verifies whichever k the dispatch resolves to at any test
+    scale.  The init CTE then cuts the k lowest ids with a row_number
+    filter instead of LIMIT."""
     q = (
         f"q AS (SELECT {id_col}, list_transform(embedding, "
         f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv "
         f"FROM {table})"
     )
-    c0 = (
-        f"c0 AS (SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, "
-        f"qv AS cv FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} LIMIT {k}))"
-    )
+    if isinstance(k, int):
+        c0 = (
+            f"c0 AS (SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, "
+            f"qv AS cv FROM (SELECT {id_col}, qv FROM q ORDER BY {id_col} LIMIT {k}))"
+        )
+    else:
+        k = f"(({k}))"
+        c0 = (
+            f"c0 AS (SELECT cell, cv FROM ("
+            f"SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cell, "
+            f"qv AS cv FROM q) WHERE cell < {k})"
+        )
     dist = (
         "CAST(list_dot_product(q.qv, c{i}.cv) * -2 "
         "+ list_dot_product(q.qv, q.qv) "

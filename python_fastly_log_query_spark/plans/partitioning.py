@@ -164,6 +164,12 @@ def compaction_bins(
     """
     from pyspark.sql import Window
 
+    if int(target_bytes) <= 0:
+        # 0 would div-by-zero into all-NULL bins (every file silently
+        # collapsing into one NULL bin per partition); negatives yield
+        # negative bin ids — both violate the documented fill invariant
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+
     w = (
         Window.partitionBy(part_col)
         .orderBy(F.col(size_col).desc(), F.col(file_col).asc())

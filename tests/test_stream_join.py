@@ -24,7 +24,16 @@ BASE = 1_700_000_000
 def _write_hour_files(path: str, side: str, n_hours: int, per_hour: int) -> None:
     """One parquet FILE per hour with strictly increasing mtimes, so the
     file-stream source replays them in event-time order (one micro-batch
-    per file) — the landing-zone shape."""
+    per file) — the landing-zone shape.
+
+    Every hour also plants one FILE-BOUNDARY-straddling pair on the
+    dedicated key "kx": the left event at ``h*3600 + 3500`` can only
+    match the right event at ``(h+1)*3600 + 100`` (200s later, within
+    the 600s bound) — which lives in the NEXT hour's file, i.e. a later
+    micro-batch.  Same-hour kx events never match (the right kx at
+    ``h*3600 + 100`` PRECEDES the left one), so every kx output row is
+    direct proof the join buffered state across micro-batches; a
+    within-batch-only join would emit zero kx rows (ADVICE r4)."""
     os.makedirs(path, exist_ok=True)
     for h in range(n_hours):
         keys, ts = [], []
@@ -34,6 +43,8 @@ def _write_hour_files(path: str, side: str, n_hours: int, per_hour: int) -> None
             # the same hour slot -> within the 600s interval bound
             off = h * 3600 + j * 300 + (120 if side == "r" else 0)
             ts.append(BASE + off)
+        keys.append("kx")
+        ts.append(BASE + h * 3600 + (100 if side == "r" else 3500))
         papq.write_table(
             pa.table(
                 {
@@ -105,6 +116,11 @@ def test_interval_join_evicts_state_and_matches_batch(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert sum(r.n for r in got) > 0
+    # the planted boundary-straddling pairs: hour h's left kx event
+    # matches ONLY hour h+1's right kx event (a later file = a later
+    # micro-batch), so these rows exist iff join state crossed batches
+    kx = {r.l_key: r.n for r in got}.get("kx", 0)
+    assert kx == n_hours - 1, got
 
     metrics = SJ.state_metrics(q)
     # the plan must be the engine's streaming symmetric hash join (state
@@ -113,7 +129,7 @@ def test_interval_join_evicts_state_and_matches_batch(spark, tmp_path):
     assert len({m["batch"] for m in metrics}) >= n_hours  # state crossed batches
     assert sum(m["rows_removed"] or 0 for m in metrics) > 0, metrics
     # bounded: live state never approaches the full stream volume
-    total_rows = 2 * n_hours * per_hour
+    total_rows = 2 * n_hours * (per_hour + 1)
     assert max(m["state_rows"] for m in metrics) < total_rows, metrics
 
 
