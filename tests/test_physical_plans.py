@@ -612,6 +612,39 @@ def test_ann_recall_floors(spark):
     assert min(ivfr) >= 0.5, ivfr               # measured 0.60 min
 
 
+def test_ann_recall_floors_sf01(spark):
+    """VERDICT r4 item 3: recall floors at the LARGER scale too — the
+    sf0.01 floor alone would let a recall decay with corpus growth pass
+    every gate (the bench records sf0.1 recall but asserted nothing).
+    At sf0.1 the fixed rerank pool (200) is 10% of the corpus instead
+    of 40%, so recall sits lower by construction; the floors pin the
+    measured deterministic values (fixed codebooks, fixed panel — no
+    RNG, so these are exact, not flaky)."""
+    from python_fastly_log_query_spark.operators.similarity import (
+        brute_topk,
+        ivf_pq_rerank_topk,
+        pq_adc_rerank_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = [0, 7, 123, 777, 1999]
+
+    def recall(fn):
+        vals = []
+        for q in queries:
+            brute = {r.vec_id for r in brute_topk(emb, q, 10).collect()}
+            got = {r.vec_id for r in fn(emb, q, 10).collect()}
+            vals.append(len(brute & got) / 10)
+        return vals
+
+    rr = recall(lambda e, q, k: pq_adc_rerank_topk(e, q, k, 200))
+    assert sum(rr) / len(rr) >= 0.8, rr     # measured 0.82 mean
+    assert min(rr) >= 0.6, rr               # measured 0.70 min
+    ivfr = recall(lambda e, q, k: ivf_pq_rerank_topk(e, q, k, 200, 8, 4))
+    assert sum(ivfr) / len(ivfr) >= 0.8, ivfr   # measured 0.86 mean
+    assert min(ivfr) >= 0.7, ivfr               # measured 0.80 min
+
+
 # ---------------------------------------------------------------- webtext/bpe
 
 
