@@ -814,6 +814,15 @@ def _sf1_section(spark, qmap, base: dict, flagship) -> dict:
 # (`python bench.py --scale-decades`); results land in BENCH/DECADES.md.
 
 DECADES_QUERIES = (
+    # scale-critical entries FIRST (same rule as the sf1 section): if the
+    # wall budget trips mid-list, the NEWLY-claimed linearity evidence
+    # must already be recorded.
+    # VERDICT r4 item 6: the costliest linear-claims in the corpus family,
+    # previously absent from the second decade — exact-substring's window
+    # frame is ~one row per corpus token, boilerplate's verdict is a
+    # host-keyed anti-join
+    "exact_substr_stats",           # Lee et al. window counts + join-back
+    "host_boilerplate_stats",       # per-host repeated-line strip
     "requests_per_hour",            # events rollup (10M rows at x100)
     "dedup_exact",                  # md5 groupBy
     "dedup_minhash_lsh",            # FIXED (16,4): the N^2-junk shape, kept as the finding's witness
@@ -825,12 +834,6 @@ DECADES_QUERIES = (
     "embedding_ivf_pq_rerank_topk", # ANN: cell-pruned ADC + exact re-rank
     "training_corpus_stats",        # composed dedup->lang->quality pipeline
     "url_canonical_dedup",          # URL canonicalization + dedup
-    # VERDICT r4 item 6: the costliest linear-claims in the corpus family,
-    # previously absent from the second decade — exact-substring's window
-    # frame is ~one row per corpus token, boilerplate's verdict is a
-    # host-keyed anti-join
-    "exact_substr_stats",           # Lee et al. window counts + join-back
-    "host_boilerplate_stats",       # per-host repeated-line strip
 )
 
 # Named explanations for entries EXPECTED to exceed the per-decade bound
