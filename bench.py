@@ -190,6 +190,7 @@ STANDALONE_QUERIES = [
     "semdedup_scaled",
     "knn_graph_scaled",
     "wav_decode_meta",
+    "streaming_ip_sessions",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured

@@ -7664,6 +7664,55 @@ def q_wav_decode_meta(spark, sf):
     return decode_wav(wav_from_docs(docs))
 
 
+# ----------------------------------------------- streaming sessionization
+
+
+@register("streaming_ip_sessions", _REGISTRY["ip_sessions"][1])
+def q_streaming_ip_sessions(spark, sf):
+    """Sessionization ON THE STREAM — the native ``session_window``
+    aggregate under Structured Streaming (streaming/jobs.py:
+    session_rollup), where the state store MERGES a key's sessions as
+    its events arrive across micro-batches: the 8-file source is
+    repartitioned (so files are NOT time-ordered) and drained 2 files
+    per trigger, forcing genuine cross-batch, out-of-order session
+    merges; AvailableNow + complete mode yields the exactly-once final
+    state, then a batch summary per IP.  Batch-equality contract: must
+    equal the lag+cumsum DuckDB oracle the three BATCH sessionizers
+    (ip_sessions / _native / _chunked) already share — the same answer,
+    now produced incrementally at ingestion.  State at 10^12: one row
+    per live session per key; complete mode here is the backfill shape,
+    and the production configuration adds a watermark so closed
+    sessions evict — the streaming twin of the rollup family's dial."""
+    from . import oracle_corpus as oc
+    from .streaming.jobs import run_available_now, session_rollup, stream_parse_docs
+
+    work, name = _stream_scratch(spark, "stream_sess")
+    oc.log_lines(spark, sf).repartition(8).write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["timestamp", "ip_address"],
+        schema="event_id long, text string",
+        max_files_per_trigger=2,
+    )
+    run_available_now(
+        session_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
+    )
+    per_session = spark.table(name)
+    return (
+        per_session.groupBy("ip_address")
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.max("hits").alias("max_hits"),
+            F.max("span_sec").alias("max_span_sec"),
+        )
+        .orderBy(F.desc("sessions"), F.asc("ip_address"))
+        .limit(20)
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

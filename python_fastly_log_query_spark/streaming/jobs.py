@@ -85,13 +85,17 @@ def stream_parse_docs(
     line_col: str = "text",
     columns: list[str] | None = None,
     schema: StructType | str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Grok parse over a streaming parquet table whose ``line_col`` holds
-    raw log lines — the table-source twin of :func:`stream_parse`."""
-    docs = (
-        stream_docs(spark, input_dir, schema)
-        if schema is not None
-        else stream_docs(spark, input_dir)
+    raw log lines — the table-source twin of :func:`stream_parse`.
+    ``max_files_per_trigger`` forwards to :func:`stream_docs` so callers
+    can force multi-batch drains (exercises cross-batch state)."""
+    docs = stream_docs(
+        spark,
+        input_dir,
+        **({"schema": schema} if schema is not None else {}),
+        max_files_per_trigger=max_files_per_trigger,
     )
     return parse_logs(docs.select(F.col(line_col).alias("text")), "text", columns=columns)
 
@@ -151,6 +155,37 @@ _IP_OUT_SCHEMA = StructType(
         StructField("last_ts", TimestampType()),
     ]
 )
+
+
+def session_rollup(parsed: DataFrame, gap: str = "1801 seconds") -> DataFrame:
+    """Gap-based sessionization ON THE STREAM (SURVEY §2.8's rule under
+    Structured Streaming): the native ``session_window`` aggregate's
+    state store MERGES a key's sessions as adjacent events arrive —
+    including ACROSS micro-batches and out of event-time order — so the
+    drained result equals the batch ``session_window`` aggregate no
+    matter how the input is split into batches.  Complete output mode
+    with no watermark is the exactly-once backfill/catch-up shape
+    (state = all live sessions, one row per session per key); the
+    production ingestion configuration adds ``withWatermark`` before
+    the groupBy so sessions evict once the horizon passes their end —
+    the same batch↔streaming dial as :func:`hourly_rollup`.
+
+    Gap 1801s on whole-second log timestamps is exactly "idle > 30 min
+    starts a new session" (merge iff diff < 1801 ⇔ diff <= 1800 — see
+    queries.q_ip_sessions_native for the strict-inequality translation).
+    """
+    return (
+        parsed.filter(
+            F.col("ip_address").isNotNull() & F.col("timestamp").isNotNull()
+        )
+        .groupBy(F.session_window("timestamp", gap).alias("w"), "ip_address")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            (
+                F.max("timestamp").cast("long") - F.min("timestamp").cast("long")
+            ).alias("span_sec"),
+        )
+    )
 
 
 def _ip_state_fn(
