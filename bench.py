@@ -191,6 +191,11 @@ STANDALONE_QUERIES = [
     "knn_graph_scaled",
     "wav_decode_meta",
     "streaming_ip_sessions",
+    "host_triangle_stats",
+    "editdist_neardup_pairs",
+    "editdist_neardup_auto",
+    "hybrid_rrf_topk",
+    "streaming_enriched_counts",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -276,8 +281,24 @@ SF1_REUSE = [
     "semdedup_scaled",
     "knn_graph_scaled",
     "wav_decode_meta",
+    # r5 widening: triangle counting (edge dim is hosts^2-bounded),
+    # decade-dispatched editdist blocking, and RRF fusion (fixed-k
+    # windows over top-20 cuts; corpus cost lives in the BM25/cosine
+    # sources, both linear)
+    "host_triangle_stats",
+    "editdist_neardup_auto",
+    "hybrid_rrf_topk",
 ]
 SF1_EXPLAIN = {
+    "editdist_neardup_pairs": (
+        "excluded as-registered: fixed block_tokens=2 over a ~30-word "
+        "vocabulary leaves ~900 block keys, so per-block candidate sets — "
+        "and the Sigma|block|^2 join output — grow ~N^2 with the corpus "
+        "(quadratic BY CONFIGURATION, same class as the fixed-(16,4) "
+        "minhash twin).  The scale-honest config is the decade-dispatched "
+        "editdist_neardup_auto (block key space widens ~|vocab|x per "
+        "decade), registered + full-oracled and swept in its place"
+    ),
     "semantic_dup_clusters": (
         "excluded as-registered: it composes banded LSH pairs at threshold "
         "0.45, where the TRUE above-threshold pair count grows ~N^2 by "
@@ -828,6 +849,7 @@ DECADES_QUERIES = (
     "dedup_exact",                  # md5 groupBy
     "dedup_minhash_lsh",            # FIXED (16,4): the N^2-junk shape, kept as the finding's witness
     "dedup_minhash_lsh_auto",       # decade-sized (r,b): junk bounded per doc
+    "editdist_neardup_auto",        # decade-sized block prefix: pairs bounded per block
     "span_dedup_stats",             # C4-style global span dedup
     "host_pagerank",                # iterative graph (fixed iterations)
     "ip_sessions_chunked",          # skew-hardened sessionization
@@ -894,6 +916,7 @@ DECADES_EXPLAIN = {
 DECADES_PAIR_COUNTS = (
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_auto",
+    "editdist_neardup_auto",
     "simhash_w64_unigram",
     "simhash_w64_ngram3",
 )

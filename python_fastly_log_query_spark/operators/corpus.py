@@ -1770,3 +1770,84 @@ def bloom_semijoin(
         "_maybe",
         maybe_in(bloom_positions(F.col(key).cast("string"), m, k)),
     ).filter(F.col("_maybe")).drop("_maybe")
+
+
+# ------------------------------------------------- reciprocal rank fusion
+
+
+def rrf_fuse(
+    sources: list[tuple[DataFrame, str]],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of
+    multiple top-k rankings — the standard hybrid-retrieval combiner
+    (lexical BM25 + semantic embedding NN) for eval-set mining and
+    decontamination drill-downs: score = Σ_sources 1/(c + rank).
+
+    Integer contract: each source's contribution is
+    ``10^6 div (c + rank)`` (BIGINT), so fusion is exact on any engine
+    — ranks come from ``row_number`` over (source score DESC, id ASC),
+    where source scores are the inputs' already-rounded outputs,
+    bit-equal cross-engine by those operators' own contracts.
+
+    Each input is ``(frame, score_col)`` where the frame is a TOP-K
+    RANKING (already cut by TakeOrderedAndProject) — k rows, not a
+    corpus — so the unpartitioned row_number window here is a k-row
+    frame on one task, and the union/groupBy shuffles ≤ Σk rows total.
+    The corpus-sized work lives inside the source rankings; fusion is
+    O(sources · k) at any corpus scale.
+
+    Returns ``(id_col, rrf_score, n_sources)`` — top-``k`` by
+    (rrf_score DESC, id ASC).
+    """
+    parts = []
+    for df, score_col in sources:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("_rnk"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.sum(F.expr(f"1000000L div ({c} + _rnk)")).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_sql(
+    source_ctes: list[tuple[str, str]],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`rrf_fuse`: ``source_ctes`` is
+    ``[(cte_name, score_col), ...]`` where each named CTE (declared by
+    the caller) yields ``(id_col, score_col)`` rows."""
+    ranked = ", ".join(
+        f"rk_{i} AS (SELECT {id_col}, row_number() OVER "
+        f"(ORDER BY {sc} DESC, {id_col} ASC) AS rnk FROM {name})"
+        for i, (name, sc) in enumerate(source_ctes)
+    )
+    unioned = " UNION ALL ".join(
+        f"SELECT * FROM rk_{i}" for i in range(len(source_ctes))
+    )
+    return f"""
+{ranked},
+u AS ({unioned})
+SELECT {id_col},
+       CAST(sum(1000000 // ({c} + rnk)) AS BIGINT) AS rrf_score,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM u GROUP BY 1
+ORDER BY rrf_score DESC, {id_col} ASC LIMIT {k}
+"""

@@ -925,3 +925,168 @@ def dedup_keep_best(
         "best_doc",
         (F.col("doc_id") == F.col("best_doc")).cast("long").alias("keep"),
     )
+
+
+# ------------------------------------------------- blocked edit distance
+
+
+def editdist_neardup_pairs(
+    docs: DataFrame,
+    block_tokens: int = 2,
+    snip_tokens: int = 12,
+    max_dist: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocked Levenshtein near-duplicate pairs — the character-level
+    dedup family (template spam, boilerplate variants, OCR jitter) that
+    token-set measures (MinHash/SimHash Jaccard) are blind to: a doc
+    whose every token is lightly misspelled shares ~no shingles with
+    its source but sits at small edit distance.
+
+    Blocking: candidates must share the exact first ``block_tokens``
+    tokens (the standard sorted-neighborhood/prefix block — near-dups
+    at distance ≤ d over a prefix-stable corpus share a prefix, and a
+    differing prefix already contributes edits).  Comparison runs on
+    the first ``snip_tokens``-token snippet, bounding the O(L²) DP per
+    pair at a constant, with Spark's thresholded ``levenshtein(l, r,
+    d)`` early-abandoning the DP to O(d·L) and returning -1 past d.
+
+    Plan: one map-only projection per doc → one equi-join shuffle on
+    the block key (never a cross join) → codegen'd levenshtein on the
+    candidate pairs only.  At 10^12 docs the cost is Σ|block|², so the
+    block key's skew is the thing to audit (key_skew_audit) — a hot
+    boilerplate prefix is exactly a giant duplicate cluster, handled
+    upstream by exact-dedup-first like every pair family here.
+
+    Returns ``(doc_a, doc_b, dist)`` with doc_a < doc_b.
+
+    Non-ASCII caveat (oracle only): Spark counts code points, DuckDB's
+    ``levenshtein`` counts bytes; the synthetic corpus is ASCII where
+    they coincide.  Engine semantics (code points) are the contract.
+    """
+    toks = F.split(F.col(text_col), " ")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, block_tokens), " ").alias("_blk"),
+        F.array_join(F.slice(toks, 1, snip_tokens), " ").alias("_snip"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_blk"),
+        F.col("_snip").alias("_sa"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_blk"),
+        F.col("_snip").alias("_sb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_sa"), F.col("_sb"), max_dist)
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
+def editdist_sql(
+    block_tokens: int = 2,
+    snip_tokens: int = 12,
+    max_dist: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`editdist_neardup_pairs` (ASCII corpus:
+    byte distance ≡ code-point distance)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, {block_tokens}), ' ') AS blk,
+         array_to_string(list_slice(string_split(text, ' '), 1, {snip_tokens}), ' ') AS snip
+  FROM {table})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.snip, b.snip) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.snip, b.snip) <= {max_dist}
+"""
+
+
+def editdist_block_table() -> dict[int, int]:
+    """Corpus-size-decade → ``block_tokens`` for
+    :func:`editdist_neardup_auto`.  Like :func:`minhash_decade_table`,
+    the dial grows with the corpus so the candidate volume stays linear:
+    each extra block token multiplies the number of blocks by ~|vocab|,
+    holding the EXPECTED block size (and so Σ|block|² per doc) bounded
+    as N grows.  ``block_tokens = max(2, decade - 1)`` keeps expected
+    block size ≲ 12 docs at every decade's upper bound for a ~30-word
+    vocabulary, and a real web corpus (vocab 10^5+) is far sparser per
+    token."""
+    return {d: max(2, d - 1) for d in range(1, 13)}
+
+
+def editdist_neardup_auto(
+    docs: DataFrame,
+    snip_tokens: int = 12,
+    max_dist: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-honest :func:`editdist_neardup_pairs`: the block-prefix
+    length is dispatched on the corpus-size DECADE (digit count of N —
+    no float-log boundary risk), so at 10× the data the block key space
+    widens and per-block candidate sets stay bounded — the same growth
+    law as ``minhash_signatures_auto``.  The one extra cost is a 1-row
+    count() of the corpus, amortized at deploy by reading the table
+    stats instead."""
+    n = docs.count()
+    d = min(12, max(1, len(str(max(n, 10))) - 1))
+    return editdist_neardup_pairs(
+        docs,
+        block_tokens=editdist_block_table()[d],
+        snip_tokens=snip_tokens,
+        max_dist=max_dist,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def editdist_auto_sql(
+    snip_tokens: int = 12,
+    max_dist: int = 20,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`editdist_neardup_auto`: replays the
+    decade dispatch as one branch per DISTINCT block_tokens config,
+    each gated by ``(SELECT d FROM dec) IN (<its decades>)`` pushed
+    below the projection — non-matching branches filter every row
+    before any join, so the union costs one scan per branch plus ONE
+    live pipeline (same scheme as the minhash auto oracle)."""
+    groups: dict[int, list[int]] = {}
+    for d, bt in editdist_block_table().items():
+        groups.setdefault(bt, []).append(d)
+    ctes = [
+        f"dec AS (SELECT least(12, greatest(1, "
+        f"length(CAST(greatest(count(*), 10) AS VARCHAR)) - 1)) AS d "
+        f"FROM {table})"
+    ]
+    selects = []
+    for bt, decs in sorted(groups.items()):
+        in_list = ", ".join(str(d) for d in sorted(decs))
+        ctes.append(
+            f"t_{bt} AS (SELECT doc_id, "
+            f"array_to_string(list_slice(string_split(text, ' '), 1, {bt}), ' ') AS blk, "
+            f"array_to_string(list_slice(string_split(text, ' '), 1, {snip_tokens}), ' ') AS snip "
+            f"FROM {table} WHERE (SELECT d FROM dec) IN ({in_list}))"
+        )
+        selects.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"CAST(levenshtein(a.snip, b.snip) AS BIGINT) AS dist "
+            f"FROM t_{bt} a JOIN t_{bt} b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+            f"WHERE levenshtein(a.snip, b.snip) <= {max_dist}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

@@ -593,3 +593,125 @@ d{k} AS (
   FROM d{k - 1} p JOIN nodes n USING (host)
   LEFT JOIN r{k} r ON r.host = n.host)""")
     return ",".join(parts), f"SELECT host, depth FROM d{max_depth}"
+
+
+# ------------------------------------------------------------- triangles
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-host triangle counts + integer local clustering coefficient
+    over the undirected host graph — the link-farm geometry signal
+    (organic neighborhoods are sparse; paid link rings close into
+    cliques, so farmed hosts show high clustering at low authority).
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    standard MapReduce triangle scheme).  Every undirected edge is
+    oriented from its lower-(degree, host) endpoint to the higher one;
+    a triangle {u,v,w} is then counted EXACTLY ONCE as the wedge
+    (u→v, u→w with rank(v) < rank(w)) closed by the oriented edge
+    (v→w).  Orientation bounds the wedge fan-out per vertex by
+    O(sqrt(|E|)) regardless of raw degree — the hub host that every
+    page links to produces NO wedges from its own (huge) adjacency,
+    because all its edges point INTO it; this is what makes the plan
+    survive power-law degree distributions at crawl scale, where the
+    naive u-joins-on-shared-neighbor plan is quadratic in the hub
+    degree.
+
+    Everything is equi-joins and integer counts on the hosts²-bounded
+    edge list (dimension-like next to the corpus); clustering is the
+    integer ppm surrogate ``2·T·10^6 div (deg·(deg−1))`` so both
+    engines agree bit-exactly with no float division.
+
+    Returns ``(host, degree, triangles, clustering_ppm)``.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .unionAll(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("h").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("h").alias("b"), F.col("deg").alias("_degb"))
+    wd = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_dega") < F.col("_degb")) | (
+        (F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b"))
+    )
+    o = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    dv = deg.select(F.col("h").alias("v"), F.col("deg").alias("_degv"))
+    o2 = o.join(dv, "v").select("u", "v", "_degv")
+    e1 = o2.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("_degv").alias("_d1")
+    )
+    e2 = o2.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("_degv").alias("_d2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    per = (
+        tri.select(F.col("u").alias("h"))
+        .unionAll(tri.select(F.col("v1").alias("h")))
+        .unionAll(tri.select(F.col("v2").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    return (
+        deg.join(per, "h", "left")
+        .select(
+            F.col("h").alias("host"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("_t"), F.lit(0).cast("long")).alias("triangles"),
+        )
+        .selectExpr(
+            "host",
+            "degree",
+            "triangles",
+            "CASE WHEN degree >= 2 THEN (2 * triangles * 1000000L) div "
+            "(degree * (degree - 1)) ELSE 0L END AS clustering_ppm",
+        )
+    )
+
+
+def triangle_sql(edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) mirroring :func:`triangle_stats` —
+    identical orientation rule ((deg, host) tuple order) and identical
+    integer clustering surrogate, so per-host rows match value-exactly."""
+    ctes = f"""
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM {edges_cte} WHERE src <> dst),
+deg AS (SELECT h, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS h FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+o AS (SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v
+      FROM und u JOIN deg da ON da.h = u.a JOIN deg db ON db.h = u.b),
+o2 AS (SELECT o.u, o.v, d.deg AS degv FROM o JOIN deg d ON d.h = o.v),
+wdg AS (SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+        FROM o2 e1 JOIN o2 e2 ON e1.u = e2.u
+        AND (e1.degv, e1.v) < (e2.degv, e2.v)),
+tri AS (SELECT wdg.u, wdg.v1, wdg.v2 FROM wdg
+        JOIN o ON o.u = wdg.v1 AND o.v = wdg.v2),
+per AS (SELECT h, CAST(count(*) AS BIGINT) AS triangles
+        FROM (SELECT u AS h FROM tri UNION ALL SELECT v1 FROM tri
+              UNION ALL SELECT v2 FROM tri) GROUP BY 1)"""
+    final = """
+SELECT deg.h AS host, deg.deg AS degree,
+       coalesce(per.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN (2 * coalesce(per.triangles, 0) * 1000000) // (deg.deg * (deg.deg - 1))
+            ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+FROM deg LEFT JOIN per ON per.h = deg.h"""
+    return ctes, final

@@ -7713,6 +7713,197 @@ def q_streaming_ip_sessions(spark, sf):
     )
 
 
+# ============================================================ round-5 widening
+
+
+def _triangle_oracle() -> str:
+    from .operators.webgraph import triangle_sql
+
+    ctes, final = triangle_sql()
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_triangle_stats", _triangle_oracle())
+def q_host_triangle_stats(spark, sf):
+    """Per-host triangle counts + integer clustering coefficient over
+    the host link graph (operators/webgraph.py:triangle_stats) — the
+    link-ring geometry signal complementing PageRank (authority) and
+    reciprocity (pairwise exchange): farmed link rings close into
+    near-cliques, so high clustering_ppm at low PageRank flags them.
+    Degree-ordered orientation counts each triangle exactly once and
+    bounds per-vertex wedge fan-out by O(sqrt|E|) even on power-law
+    crawl graphs — the hub every page links to generates no wedges.
+    All equi-joins on the hosts²-bounded edge dim; integer throughout."""
+    from .operators.webgraph import extract_outlinks, triangle_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return triangle_stats(extract_outlinks(_wg_pages_spark(docs)))
+
+
+def _editdist_oracle() -> str:
+    from .operators.dedup import editdist_sql
+
+    return editdist_sql(block_tokens=2, snip_tokens=12, max_dist=20)
+
+
+@register("editdist_neardup_pairs", _editdist_oracle())
+def q_editdist_neardup_pairs(spark, sf):
+    """Blocked Levenshtein near-dup pairs (operators/dedup.py:
+    editdist_neardup_pairs) — the CHARACTER-level dedup family the
+    token-set measures miss (every-token-lightly-misspelled mirrors
+    share ~no shingles but sit at small edit distance).  Blocking on
+    the first-2-token prefix turns the corpus cross-product into one
+    equi-join; the thresholded codegen levenshtein(…, d) early-abandons
+    its DP at d and compares a fixed 12-token snippet, so per-pair cost
+    is a constant.  Σ|block|² is the scale knob — audit the block key
+    with key_skew_audit; a hot prefix IS a giant duplicate cluster and
+    is removed by exact-dedup-first upstream (neardup_pipeline).
+
+    Small-scale oracle twin: the FIXED block_tokens=2 here is the
+    dense-output correctness config; the decade-dispatched
+    ``editdist_neardup_auto`` (registered separately) is the scale
+    configuration that keeps candidate volume linear as N grows."""
+    from .operators.dedup import editdist_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return editdist_neardup_pairs(
+        docs, block_tokens=2, snip_tokens=12, max_dist=20
+    )
+
+
+def _editdist_auto_oracle() -> str:
+    from .operators.dedup import editdist_auto_sql
+
+    return editdist_auto_sql(snip_tokens=12, max_dist=20)
+
+
+@register("editdist_neardup_auto", _editdist_auto_oracle())
+def q_editdist_neardup_auto(spark, sf):
+    """Scale-honest edit-distance near-dup (operators/dedup.py:
+    editdist_neardup_auto): the block-prefix length grows with the
+    corpus-size decade (digit count of N), widening the block key space
+    ~|vocab|× per decade so per-block candidate sets — and Σ|block|² —
+    stay bounded at 10× and 100× the data; same growth law and same
+    gated-branch oracle scheme as dedup_minhash_lsh_auto.  The fixed
+    block_tokens=2 twin (editdist_neardup_pairs) is the small-scale
+    oracle config."""
+    from .operators.dedup import editdist_neardup_auto
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return editdist_neardup_auto(docs, snip_tokens=12, max_dist=20)
+
+
+_RRF_TERMS_A = ["vector", "hash"]
+_RRF_TERMS_B = ["vector", "stream"]
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .operators.corpus import bm25_sql, rrf_sql
+
+    bm_a = bm25_sql(_RRF_TERMS_A, k=20)
+    bm_b = bm25_sql(_RRF_TERMS_B, k=20)
+    cos = """
+WITH ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings),
+q AS (SELECT embedding AS qe FROM ed WHERE vec_id = 0),
+sims AS (SELECT vec_id,
+                list_dot_product(embedding, qe)
+                / (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qe, qe))) AS c
+         FROM ed, q)
+SELECT vec_id AS doc_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id ASC LIMIT 20
+"""
+    fuse = rrf_sql(
+        [("bm_a", "bm25"), ("bm_b", "bm25"), ("cosq", "cosine")], k=10, c=60
+    )
+    return f"WITH bm_a AS ({bm_a}), bm_b AS ({bm_b}), cosq AS ({cos}),{fuse}"
+
+
+@register("hybrid_rrf_topk", _hybrid_rrf_oracle())
+def q_hybrid_rrf_topk(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/corpus.py:
+    rrf_fuse): two lexical BM25 rankings (overlapping query variants)
+    and one semantic embedding-cosine ranking, fused by
+    Σ 10^6 div (60 + rank) — the standard lexical+semantic combiner for
+    eval-set mining and decontamination drill-downs.  Each source is a
+    top-20 TakeOrderedAndProject cut, so fusion windows/joins touch
+    ≤60 rows at ANY corpus scale; the corpus-sized work stays inside
+    the source rankings (BM25: two map passes + 1-row broadcast stats;
+    cosine: one broadcast-query scan).  Ranks derive from each source's
+    already-rounded, bit-equal-by-contract output scores, ties by id —
+    so the fused integer scores are engine-exact."""
+    from .operators.corpus import bm25_topk, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bm_a = bm25_topk(docs, _RRF_TERMS_A, k=20)
+    bm_b = bm25_topk(docs, _RRF_TERMS_B, k=20)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    c = dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), c.alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", round_half_away("_c", 4).alias("cosine"))
+    )
+    return rrf_fuse(
+        [(bm_a, "bm25"), (bm_b, "bm25"), (cos, "cosine")], k=10, c=60
+    )
+
+
+@register("streaming_enriched_counts", _REGISTRY["geoip_country_counts"][1])
+def q_streaming_enriched_counts(spark, sf):
+    """GeoIP enrichment AT INGESTION (north rule: "enrich via broadcast
+    lookup joins against GeoIP dimension tables" — here as a STREAM):
+    the parsed log stream stream-static joins the broadcast GeoIP dim
+    (prefix equi-key + residual range predicate — the same
+    BroadcastHashJoin shape as the batch path, re-planned per
+    micro-batch), lands enriched rows in a parquet sink exactly-once,
+    and the landed counts per country must equal the batch enrichment's
+    — shares geoip_country_counts' oracle, proving the stream-static
+    broadcast join is row-equal to the batch join on the same corpus.
+    At 10^12 rows/day this is the canonical enrich topology: the dim is
+    broadcast once per batch, the fact side never shuffles."""
+    from .datagen import geoip_dim
+    from .streaming.jobs import stream_parse_docs
+
+    work, name = _stream_scratch(spark, "stream_enrich")
+    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    parsed = stream_parse_docs(
+        spark,
+        f"{work}/src",
+        columns=["ip_address"],
+        schema="event_id long, text string",
+    )
+    enriched = enrich_geoip(parsed, geoip_dim(spark, 256)).select("country")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", f"{work}/enriched")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/enriched")
+        .groupBy("country")
+        .agg(F.count(F.lit(1)).alias("requests"))
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -1,0 +1,221 @@
+"""Round-5 widening operators: triangle counting, blocked edit-distance
+near-dup, reciprocal-rank fusion.
+
+The registered queries are value-oracled against DuckDB by the full
+parity sweep; these tests pin the semantics the sweep cannot see —
+hand-checkable graphs, planted near-dup pairs, planted rank overlap —
+and the cross-engine levenshtein agreement the editdist oracle relies
+on.
+"""
+
+from python_fastly_log_query_spark.operators.corpus import rrf_fuse
+from python_fastly_log_query_spark.operators.dedup import editdist_neardup_pairs
+from python_fastly_log_query_spark.operators.webgraph import triangle_stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src string, dst string, w long"
+    )
+
+
+class TestTriangles:
+    def test_single_triangle(self, spark):
+        t = triangle_stats(_edges(spark, [("a", "b"), ("b", "c"), ("c", "a")]))
+        rows = {r["host"]: r for r in t.collect()}
+        assert set(rows) == {"a", "b", "c"}
+        for h in rows:
+            assert rows[h]["degree"] == 2
+            assert rows[h]["triangles"] == 1
+            # 2*1*1e6 div (2*1) = 1_000_000 — a closed pair is a clique
+            assert rows[h]["clustering_ppm"] == 1_000_000
+
+    def test_square_has_no_triangles(self, spark):
+        t = triangle_stats(
+            _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        )
+        assert [r["triangles"] for r in t.collect()] == [0, 0, 0, 0]
+
+    def test_k4_per_host_counts(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        pairs = [(x, y) for x in nodes for y in nodes if x < y]
+        t = triangle_stats(_edges(spark, pairs))
+        for r in t.collect():
+            assert r["degree"] == 3
+            # each K4 vertex sits on C(3,2)=3 triangles; clique → ppm 1e6
+            assert r["triangles"] == 3
+            assert r["clustering_ppm"] == 1_000_000
+
+    def test_direction_and_duplicates_collapse(self, spark):
+        # both directions + repeated links + a self-loop: one triangle
+        t = triangle_stats(
+            _edges(
+                spark,
+                [
+                    ("a", "b"),
+                    ("b", "a"),
+                    ("b", "c"),
+                    ("b", "c"),
+                    ("c", "a"),
+                    ("a", "a"),
+                ],
+            )
+        )
+        assert sum(r["triangles"] for r in t.collect()) == 3
+
+    def test_hub_generates_no_wedges_itself(self, spark):
+        # star: hub h linked to 5 leaves, no leaf-leaf edges → 0 triangles,
+        # and the orientation sends every edge INTO the hub (leaves have
+        # lower degree), which is the power-law scale property.
+        t = triangle_stats(_edges(spark, [("h", f"l{i}") for i in range(5)]))
+        rows = {r["host"]: r for r in t.collect()}
+        assert rows["h"]["degree"] == 5
+        assert all(r["triangles"] == 0 for r in rows.values())
+        assert rows["h"]["clustering_ppm"] == 0
+
+
+class TestEditDistance:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_planted_near_pair_found(self, spark):
+        base = "the fast key order sort table scan merge part window small hash"
+        near = "the fast key order sort table scan merge part windoq small hash"
+        far = "the fast z z z z z z z z z z"
+        other = "completely different prefix here a b c d e f g h"
+        docs = self._docs(spark, [base, near, far, other])
+        pairs = editdist_neardup_pairs(docs, max_dist=5).collect()
+        assert {(p["doc_a"], p["doc_b"]): p["dist"] for p in pairs} == {(0, 1): 1}
+
+    def test_blocking_requires_shared_prefix(self, spark):
+        # distance 1 overall but differing FIRST token → different block
+        docs = self._docs(spark, ["aa b c d e", "ab b c d e"])
+        assert editdist_neardup_pairs(docs, max_dist=5).count() == 0
+
+    def test_threshold_is_inclusive_and_early_abandons(self, spark):
+        docs = self._docs(spark, ["k k aaaa", "k k bbbb", "k k aaab"])
+        got = {
+            (p["doc_a"], p["doc_b"]): p["dist"]
+            for p in editdist_neardup_pairs(
+                docs, block_tokens=2, snip_tokens=12, max_dist=1
+            ).collect()
+        }
+        # aaaa↔aaab dist 1 kept; aaaa↔bbbb dist 4 > 1 dropped (returns -1)
+        assert got == {(0, 2): 1}
+
+    def test_levenshtein_matches_duckdb_on_corpus(self, spark):
+        """The oracle leans on Spark(codepoints) ≡ DuckDB(bytes) over the
+        ASCII corpus — check real candidate snippets, not just examples."""
+        import duckdb
+
+        from conftest import SF_SMALL
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        pairs = (
+            editdist_neardup_pairs(docs, max_dist=10_000)
+            .orderBy("doc_a", "doc_b")
+            .limit(50)
+            .collect()
+        )
+        assert pairs, "expected prefix-blocked candidates in the corpus"
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_SMALL}/documents.parquet'"
+        )
+        for p in pairs:
+            d = con.sql(
+                """
+                SELECT levenshtein(a.s, b.s) FROM
+                  (SELECT array_to_string(list_slice(string_split(text,' '),1,12),' ') s
+                   FROM documents WHERE doc_id = ?) a,
+                  (SELECT array_to_string(list_slice(string_split(text,' '),1,12),' ') s
+                   FROM documents WHERE doc_id = ?) b
+                """,
+                params=[p["doc_a"], p["doc_b"]],
+            ).fetchone()[0]
+            assert d == p["dist"]
+
+
+class TestRRF:
+    def _ranking(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, score double")
+
+    def test_planted_overlap_wins(self, spark):
+        a = self._ranking(spark, [(1, 9.0), (2, 8.0), (3, 7.0)])
+        b = self._ranking(spark, [(9, 9.0), (2, 8.0), (8, 7.0)])
+        out = rrf_fuse([(a, "score"), (b, "score")], k=10).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # doc 2: rank 2 in both → 2 * (1e6 div 62)
+        assert by_id[2]["rrf_score"] == 2 * (1_000_000 // 62)
+        assert by_id[2]["n_sources"] == 2
+        # rank-1 singles: 1e6 div 61 < doc 2's fused score
+        assert by_id[1]["rrf_score"] == 1_000_000 // 61
+        assert out[0]["doc_id"] == 2
+
+    def test_tie_break_by_id_and_k_cut(self, spark):
+        a = self._ranking(spark, [(i, 10.0 - i) for i in range(1, 6)])
+        b = self._ranking(spark, [(i + 100, 10.0 - i) for i in range(1, 6)])
+        out = rrf_fuse([(a, "score"), (b, "score")], k=4).collect()
+        # identical per-rank scores across sources → order by doc_id asc
+        assert [r["doc_id"] for r in out] == [1, 101, 2, 102]
+
+    def test_rank_ties_broken_by_id_within_source(self, spark):
+        a = self._ranking(spark, [(5, 1.0), (3, 1.0), (4, 1.0)])
+        out = rrf_fuse([(a, "score")], k=3).collect()
+        # equal scores → row_number orders by id: 3,4,5 get ranks 1,2,3
+        assert [r["doc_id"] for r in out] == [3, 4, 5]
+        assert [r["rrf_score"] for r in out] == [
+            1_000_000 // 61,
+            1_000_000 // 62,
+            1_000_000 // 63,
+        ]
+
+
+class TestEditDistanceAuto:
+    def test_block_table_growth_law(self):
+        from python_fastly_log_query_spark.operators.dedup import (
+            editdist_block_table,
+        )
+
+        t = editdist_block_table()
+        assert t[1] == 2 and t[2] == 2 and t[3] == 2
+        assert t[4] == 3 and t[5] == 4 and t[12] == 11
+        # monotone non-decreasing — more data never coarsens the block
+        assert all(t[d + 1] >= t[d] for d in range(1, 12))
+
+    def test_auto_widens_block_with_corpus_decade(self, spark):
+        """At decade 4 (N ≥ 10^4) the auto dial blocks on 3 tokens: a
+        pair sharing only its first 2 tokens drops out of the candidate
+        set, while a 3-token-prefix pair is still found — the fixed
+        bt=2 twin reports both."""
+        from python_fastly_log_query_spark.operators.dedup import (
+            editdist_neardup_auto,
+            editdist_neardup_pairs,
+        )
+
+        filler = spark.range(15_000).selectExpr(
+            "id + 100 AS doc_id", "concat('u', id, ' x y z') AS text"
+        )
+        planted = spark.createDataFrame(
+            [
+                (0, "p q r aaaa e f"),
+                (1, "p q r aaab e f"),
+                (2, "s t m1 c d"),
+                (3, "s t m2 c d"),
+            ],
+            "doc_id long, text string",
+        )
+        docs = filler.unionAll(planted)
+        fixed = {
+            (r["doc_a"], r["doc_b"])
+            for r in editdist_neardup_pairs(docs, max_dist=5).collect()
+        }
+        auto = {
+            (r["doc_a"], r["doc_b"])
+            for r in editdist_neardup_auto(docs, max_dist=5).collect()
+        }
+        assert fixed == {(0, 1), (2, 3)}
+        assert auto == {(0, 1)}
