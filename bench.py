@@ -196,6 +196,8 @@ STANDALONE_QUERIES = [
     "editdist_neardup_auto",
     "hybrid_rrf_topk",
     "streaming_enriched_counts",
+    "host_scc",
+    "orc_roundtrip_counts",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -288,6 +290,8 @@ SF1_REUSE = [
     "host_triangle_stats",
     "editdist_neardup_auto",
     "hybrid_rrf_topk",
+    "host_scc",
+    "orc_roundtrip_counts",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

@@ -715,3 +715,90 @@ SELECT deg.h AS host, deg.deg AS degree,
             ELSE CAST(0 AS BIGINT) END AS clustering_ppm
 FROM deg LEFT JOIN per ON per.h = deg.h"""
     return ctes, final
+
+
+# ------------------------------------------------------------------- SCC
+
+
+def scc_components(edges: DataFrame, doubling_rounds: int = 6) -> DataFrame:
+    """Strongly connected components of the DIRECTED host graph —
+    the mutual-reachability structure (link rings are cycles; a page
+    farm that PageRank sees as one authority blob often decomposes
+    into one tight SCC plus dangling feeders).  Complements the
+    UNDIRECTED families: connected components (reach), label
+    propagation (density), triangles (local geometry).
+
+    Algorithm: path-doubling transitive closure — ``doubling_rounds``
+    self-joins of the reach set, each squaring the covered path length,
+    so 6 rounds close any graph of diameter ≤ 2^6 = 64 (always enough
+    for a ≤64-node host dim; the round count is the explicit dial).
+    Then SCC id = min mutually-reachable host, one equi-join of the
+    closure with its transpose + one min aggregate.
+
+    Scale note: transitive closure is O(V·E) space and right ONLY for a
+    DIMENSION-sized graph (hosts², like every webgraph pass here — the
+    edge list is already host-deduped).  A corpus-scale page-level SCC
+    needs FW-BW / coloring (Slota et al.) — out of contract here, where
+    the graph nodes are hosts.  ``localCheckpoint`` truncates the
+    exponentially-nesting join lineage each round (same discipline as
+    dedup.connected_components).
+
+    Returns ``(host, scc_id, scc_size)``.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionAll(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    reach = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        nodes.select(F.col("host").alias("a"), F.col("host").alias("b"))
+    ).distinct()
+    for _ in range(doubling_rounds):
+        step = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.b") == F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+        )
+        reach = reach.unionAll(step).distinct().localCheckpoint(eager=True)
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("r"),
+            (F.col("f.a") == F.col("r.b")) & (F.col("f.b") == F.col("r.a")),
+        )
+        .select(F.col("f.a").alias("host"), F.col("f.b").alias("peer"))
+    )
+    scc = mutual.groupBy("host").agg(F.min("peer").alias("scc_id"))
+    sz = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return scc.join(sz, "scc_id").select("host", "scc_id", "scc_size")
+
+
+def scc_sql(edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) for :func:`scc_components` — the exact
+    closure via a recursive CTE (equivalent to the Spark side's doubled
+    fixpoint once the round count covers the diameter).  The WITH that
+    receives these CTEs must be declared RECURSIVE."""
+    ctes = f"""
+e AS (SELECT DISTINCT src, dst FROM {edges_cte} WHERE src <> dst),
+closure(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT c.a, e2.dst FROM closure c JOIN e e2 ON e2.src = c.b
+),
+nodes AS (SELECT DISTINCT h AS host FROM
+          (SELECT src AS h FROM e UNION ALL SELECT dst FROM e)),
+reach AS (SELECT a, b FROM closure UNION SELECT host, host FROM nodes),
+mutual AS (SELECT f.a AS host, f.b AS peer
+           FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a),
+scc AS (SELECT host, min(peer) AS scc_id FROM mutual GROUP BY 1),
+sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+       FROM scc GROUP BY 1)"""
+    final = "SELECT s.host, s.scc_id, z.scc_size FROM scc s JOIN sz z ON z.scc_id = s.scc_id"
+    return ctes, final

@@ -7904,6 +7904,66 @@ def q_streaming_enriched_counts(spark, sf):
     )
 
 
+def _scc_oracle() -> str:
+    from .operators.webgraph import scc_sql
+
+    ctes, final = scc_sql()
+    return f"WITH RECURSIVE {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_scc", _scc_oracle())
+def q_host_scc(spark, sf):
+    """Strongly connected components of the DIRECTED host graph
+    (operators/webgraph.py:scc_components) — mutual-reachability
+    structure: link rings are cycles, so a farm PageRank sees as one
+    authority blob decomposes into a tight SCC plus dangling feeders;
+    complements the undirected families (components = reach, label
+    prop = density, triangles = local geometry).  Path-doubling closure
+    (6 rounds ≥ diameter 64) with localCheckpoint lineage truncation,
+    right ONLY because webgraph nodes are a hosts-sized DIM — the
+    corpus-scale page-level variant needs FW-BW coloring, declared out
+    of contract.  Oracle: exact recursive-CTE closure, equivalent once
+    the doubling rounds cover the diameter.  Both SCC branches are
+    witnessed on the registered graph (a 36-host giant SCC + a
+    singleton)."""
+    from .operators.webgraph import extract_outlinks, scc_components
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return scc_components(extract_outlinks(_wg_pages_spark(docs)))
+
+
+@register(
+    "orc_roundtrip_counts",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events GROUP BY 1
+""",
+)
+def q_orc_roundtrip_counts(spark, sf):
+    """ORC sink + source round-trip (SURVEY §2.1 source formats, third
+    columnar format beside parquet and the JSON/CSV sinks): the events
+    table written as ORC (native Spark writer, no extra jars), read
+    back, and aggregated — counts, exact distinct users, and the
+    integer value mass floor(v·10^4) (the rollup family's discipline:
+    a bare float SUM would hang the hash on association order).  The
+    oracle aggregates the ORIGINAL parquet table, so agreement proves
+    the ORC round-trip is value-lossless for long/double/string/
+    timestamp columns.  Columnar ORC keeps pushdown + pruning: the
+    read plans a scan with the same column-pruned shape as parquet."""
+    work, _ = _stream_scratch(spark, "orc_roundtrip")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev.write.mode("overwrite").orc(f"{work}/events_orc")
+    back = spark.read.orc(f"{work}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("value_e4"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

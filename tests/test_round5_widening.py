@@ -219,3 +219,38 @@ class TestEditDistanceAuto:
         }
         assert fixed == {(0, 1), (2, 3)}
         assert auto == {(0, 1)}
+
+
+class TestSCC:
+    def test_two_cycles_with_bridge_and_feeder(self, spark):
+        from python_fastly_log_query_spark.operators.webgraph import (
+            scc_components,
+        )
+
+        # a<->b and c<->d are separate SCCs despite the b->c bridge;
+        # feeder f->a reaches everything but nothing reaches it back
+        edges = _edges(
+            spark,
+            [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c"), ("f", "a")],
+        )
+        rows = {r["host"]: r for r in scc_components(edges).collect()}
+        assert rows["a"]["scc_id"] == rows["b"]["scc_id"] == "a"
+        assert rows["c"]["scc_id"] == rows["d"]["scc_id"] == "c"
+        assert rows["f"]["scc_id"] == "f"
+        assert rows["a"]["scc_size"] == 2
+        assert rows["c"]["scc_size"] == 2
+        assert rows["f"]["scc_size"] == 1
+
+    def test_long_cycle_needs_doubling(self, spark):
+        from python_fastly_log_query_spark.operators.webgraph import (
+            scc_components,
+        )
+
+        # a 12-node directed ring is one SCC of diameter 11 — covered by
+        # 6 doubling rounds (2^6 = 64), NOT by 6 plain relaxations
+        n = 12
+        ring = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+        rows = scc_components(_edges(spark, ring)).collect()
+        assert len(rows) == n
+        assert {r["scc_id"] for r in rows} == {"n00"}
+        assert all(r["scc_size"] == n for r in rows)
