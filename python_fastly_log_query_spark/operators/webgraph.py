@@ -631,6 +631,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        # the undirected edge set is referenced ~8 times below (degrees,
+        # orientation, wedges, closure, rollups); without this the plan
+        # re-derives the CORPUS-scan lineage per reference — one
+        # materialization of the hosts²-bounded dim pays for all of them
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("h"))

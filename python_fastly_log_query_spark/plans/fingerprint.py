@@ -95,6 +95,9 @@ FINGERPRINT_QUERIES = (
     "host_pagerank",              # unrolled fixpoint joins
     "bm25_search_topk",           # 1-row broadcast stats + TakeOrdered
     "cms_heavy_hitters",          # sketch rollup
+    "host_triangle_stats",        # oriented wedge equi-joins: no BNLJ/cartesian (r5)
+    "editdist_neardup_auto",      # decade-dispatched block equi-join: no cross join (r5)
+    "hybrid_rrf_topk",            # fixed-k fusion: corpus work inside TakeOrdered sources (r5)
 )
 
 

@@ -72,6 +72,9 @@ def test_no_quadratic_join_shapes_outside_declared(live):
         "semdedup_scaled": 6,
         # BM25: one broadcast 1-row corpus-stats frame joined cross
         "bm25_search_topk": 1,
+        # RRF fusion: two BM25 sources (1-row stats frame each) + the
+        # cosine source's broadcast 1-row query-vector cross join
+        "hybrid_rrf_topk": 3,
     }
     for name, fp in live.items():
         assert fp["cartesian"] == 0, (name, fp)
