@@ -198,6 +198,8 @@ STANDALONE_QUERIES = [
     "streaming_enriched_counts",
     "host_scc",
     "orc_roundtrip_counts",
+    "host_centrality_stats",
+    "bmp_decode_meta",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -292,6 +294,8 @@ SF1_REUSE = [
     "hybrid_rrf_topk",
     "host_scc",
     "orc_roundtrip_counts",
+    "host_centrality_stats",
+    "bmp_decode_meta",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

@@ -268,3 +268,125 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(
         _iter, schema="media_id long, frame_index int, frame_sha1 string"
     )
+
+
+# ------------------------------------------------------------ BMP (image)
+
+BMP_DECODED_SCHEMA = (
+    "media_id long, width int, height int, bpp int, row_stride int, "
+    "n_bytes long, sum_r long, sum_g long, sum_b long, corner_rgb long"
+)
+
+
+def _bmp_px(seed: int, x: int, y: int, c: int) -> int:
+    """The deterministic pixel rule shared by encoder, decoder checksum
+    expectations and the SQL oracle: channel c (0=R,1=G,2=B) of logical
+    top-down pixel (x, y)."""
+    return (seed + 97 * x + 131 * y + 57 * c) % 256
+
+
+def bmp_from_docs(docs: DataFrame) -> DataFrame:
+    """REAL BMP payloads, one per document: 24-bit uncompressed
+    BITMAPINFOHEADER bitmaps assembled byte-by-byte (stdlib ``struct``,
+    no third-party codec): 14-byte file header + 40-byte info header +
+    BOTTOM-UP rows of BGR pixels, each row padded to a 4-byte multiple
+    — the three format traps (bottom-up order, BGR channel order, row
+    padding) are all exercised because width varies with doc_id.
+    Deterministic synthesis so a SQL oracle recomputes every decoded
+    fact from doc_id alone: width = 4 + id % 13, height = 3 + id % 5,
+    channel value = (seed + 97x + 131y + 57c) % 256 with seed = first
+    8 hex digits of md5('bmp-' || id)."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + did % 13
+                h = 3 + did % 5
+                seed = int(hashlib.md5(f"bmp-{did}".encode()).hexdigest()[:8], 16)
+                pad = (4 - (3 * w) % 4) % 4
+                stride = 3 * w + pad
+                body = bytearray()
+                for y in range(h - 1, -1, -1):  # bottom-up storage
+                    for x in range(w):
+                        body += bytes(
+                            (
+                                _bmp_px(seed, x, y, 2),  # B first on disk
+                                _bmp_px(seed, x, y, 1),
+                                _bmp_px(seed, x, y, 0),
+                            )
+                        )
+                    body += b"\x00" * pad
+                size = 54 + h * stride
+                hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0
+                )
+                rows.append(
+                    {"media_id": did, "kind": "image",
+                     "data": bytes(hdr + info + body), "meta": {"codec": "bmp24"}}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "meta"])
+
+    return docs.select("doc_id").mapInPandas(_iter, schema=MEDIA_SCHEMA)
+
+
+def _bmp_parse(data: bytes) -> dict | None:
+    """REAL BMP decode (stdlib ``struct``): header fields + per-channel
+    pixel sums + the logical TOP-LEFT pixel packed as an integer.  The
+    sums pin the BGR→RGB channel mapping (they differ per channel);
+    the corner pins the bottom-up row order (a decoder reading rows
+    top-down reports the bottom-left pixel instead); returns None when
+    the payload is not a 24-bit uncompressed BMP."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    offset = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0 or h <= 0:
+        return None
+    pad = (4 - (3 * w) % 4) % 4
+    stride = 3 * w + pad
+    sums = [0, 0, 0]
+    corner = None
+    for y in range(h):  # logical top-down
+        row_off = offset + (h - 1 - y) * stride  # stored bottom-up
+        for x in range(w):
+            b, g, r = data[row_off + 3 * x : row_off + 3 * x + 3]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            if x == 0 and y == 0:
+                corner = (r << 16) | (g << 8) | b
+    return {
+        "width": w,
+        "height": h,
+        "bpp": bpp,
+        "row_stride": stride,
+        "n_bytes": len(data),
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+        "corner_rgb": corner,
+    }
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode: every payload must be a 24-bit
+    uncompressed BMP (raises otherwise — strict by construction)."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, d in zip(pdf["media_id"], pdf["data"]):
+                got = _bmp_parse(bytes(d))
+                if got is None:
+                    raise ValueError(f"media_id {m}: payload is not BMP24")
+                rows.append({"media_id": m, **got})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_iter, schema=BMP_DECODED_SCHEMA)

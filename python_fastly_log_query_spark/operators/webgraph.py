@@ -807,3 +807,101 @@ sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
        FROM scc GROUP BY 1)"""
     final = "SELECT s.host, s.scc_id, z.scc_size FROM scc s JOIN sz z ON z.scc_id = s.scc_id"
     return ctes, final
+
+
+# ------------------------------------------------------------- centrality
+
+
+def centrality_stats(edges: DataFrame, doubling_rounds: int = 6) -> DataFrame:
+    """All-pairs harmonic centrality + eccentricity over the DIRECTED
+    host graph — Boldi & Vigna's robust centrality (harmonic handles
+    disconnected pairs by contributing 0, where closeness diverges):
+    ``harmonic(a) = Σ_{b reachable} 1/d(a,b)``, here as the integer
+    surrogate ``Σ 10^6 div d``.  Eccentricity (max shortest-path
+    distance) gives per-host diameter structure — the crawl-frontier
+    "how many waves until everything" number BFS-from-seeds answers
+    only for one seed set.
+
+    Algorithm: min-plus path doubling — each round joins the distance
+    relation with itself (``d = min(d_l + d_r)``), squaring the covered
+    path length, so ``doubling_rounds=6`` is exact for any graph of
+    ≤ 64 hops.  Like :func:`scc_components`, all-pairs state is O(V²)
+    and right ONLY for a hosts-sized DIM; the corpus-scale variant is
+    HyperBall (HLL frontier sketches), out of contract here.
+
+    Returns ``(host, reachable, eccentricity, harmonic_ppm)``; hosts
+    that reach nothing report zeros.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionAll(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    reach = e.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("d")
+    )
+    for _ in range(doubling_rounds):
+        step = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.b") == F.col("r.a"))
+            .select(
+                F.col("l.a").alias("a"),
+                F.col("r.b").alias("b"),
+                (F.col("l.d") + F.col("r.d")).alias("d"),
+            )
+        )
+        reach = (
+            reach.unionAll(step)
+            .groupBy("a", "b")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    roll = (
+        reach.filter(F.col("a") != F.col("b"))
+        .groupBy(F.col("a").alias("rhost"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("reachable"),
+            F.max("d").cast("long").alias("eccentricity"),
+            F.sum(F.expr("1000000L div d")).alias("harmonic_ppm"),
+        )
+    )
+    return nodes.join(roll, nodes["host"] == roll["rhost"], "left").select(
+        "host",
+        F.coalesce("reachable", F.lit(0).cast("long")).alias("reachable"),
+        F.coalesce("eccentricity", F.lit(0).cast("long")).alias("eccentricity"),
+        F.coalesce("harmonic_ppm", F.lit(0).cast("long")).alias("harmonic_ppm"),
+    )
+
+
+def centrality_sql(edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) for :func:`centrality_stats` — exact
+    recursive min-distance walk (states deduped on (a, b, d), depth
+    bounded at |V|-1 hops since shortest paths are simple).  The WITH
+    receiving these CTEs must be RECURSIVE."""
+    ctes = f"""
+e AS (SELECT DISTINCT src, dst FROM {edges_cte} WHERE src <> dst),
+nodes AS (SELECT DISTINCT h AS host FROM
+          (SELECT src AS h FROM e UNION ALL SELECT dst FROM e)),
+walk(a, b, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.a, e2.dst, w.d + 1 FROM walk w JOIN e e2 ON e2.src = w.b
+  WHERE w.d < (SELECT count(*) FROM nodes) - 1
+),
+dist AS (SELECT a, b, min(d) AS d FROM walk WHERE a <> b GROUP BY 1, 2),
+roll AS (SELECT a AS rhost, CAST(count(*) AS BIGINT) AS reachable,
+                CAST(max(d) AS BIGINT) AS eccentricity,
+                CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm
+         FROM dist GROUP BY 1)"""
+    final = """
+SELECT n.host, coalesce(r.reachable, 0) AS reachable,
+       coalesce(r.eccentricity, 0) AS eccentricity,
+       coalesce(r.harmonic_ppm, 0) AS harmonic_ppm
+FROM nodes n LEFT JOIN roll r ON r.rhost = n.host"""
+    return ctes, final

@@ -7964,6 +7964,79 @@ def q_orc_roundtrip_counts(spark, sf):
     )
 
 
+def _centrality_oracle() -> str:
+    from .operators.webgraph import centrality_sql
+
+    ctes, final = centrality_sql()
+    return f"WITH RECURSIVE {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_centrality_stats", _centrality_oracle())
+def q_host_centrality_stats(spark, sf):
+    """All-pairs harmonic centrality + eccentricity on the directed host
+    graph (operators/webgraph.py:centrality_stats) — Boldi & Vigna's
+    robust centrality (disconnected pairs contribute 0 where closeness
+    diverges) as the integer surrogate Σ 10⁶ div d, plus per-host
+    eccentricity (the "how many crawl waves until everything" number
+    BFS-from-seeds answers only for one seed set).  Min-plus path
+    doubling (6 rounds exact to 64 hops) with localCheckpoint per
+    round; all-pairs state is O(V²) and right ONLY for the hosts-sized
+    dim — corpus-scale centrality is HyperBall (HLL frontier sketches),
+    declared out of contract.  Oracle: exact recursive min-distance
+    walk, depth bounded at |V|−1 (shortest paths are simple)."""
+    from .operators.webgraph import centrality_stats, extract_outlinks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return centrality_stats(extract_outlinks(_wg_pages_spark(docs)))
+
+
+@register(
+    "bmp_decode_meta",
+    """
+WITH base AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 5 AS h,
+         CAST('0x' || substr(md5('bmp-' || doc_id), 1, 8) AS BIGINT) AS seed,
+         (4 - (3 * (4 + doc_id % 13)) % 4) % 4 AS pad
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       CAST(3 * w + pad AS INT) AS row_stride,
+       CAST(54 + h * (3 * w + pad) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w)) % 256)) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w) + 57) % 256)) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w) + 114) % 256)) AS BIGINT) AS sum_b,
+       CAST((seed % 256) * 65536 + ((seed + 57) % 256) * 256
+            + (seed + 114) % 256 AS BIGINT) AS corner_rgb
+FROM base
+""",
+)
+def q_bmp_decode_meta(spark, sf):
+    """REAL image codec path (closing the wav_decode_meta gap for
+    images): one genuine 24-bit uncompressed BMP per document assembled
+    byte-by-byte by the ENCODER (multimodal.bmp_from_docs — stdlib
+    struct, no third-party codec) and parsed back by the DECODER
+    (multimodal.decode_bmp).  The per-channel pixel sums pin the
+    BGR→RGB channel mapping, the logical top-left corner pixel pins the
+    bottom-up row order (a top-down reader reports the bottom-left
+    pixel), and n_bytes/row_stride pin the 4-byte row padding — the
+    three BMP format traps, all exercised because width varies with
+    doc_id.  The oracle recomputes every fact from the deterministic
+    synthesis rule, verifying encoder→decoder end to end.  Video
+    remains the one declared stub (no container-format codec in
+    stdlib)."""
+    from .operators.multimodal import bmp_from_docs, decode_bmp
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return decode_bmp(bmp_from_docs(docs))
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

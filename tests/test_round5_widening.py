@@ -254,3 +254,131 @@ class TestSCC:
         assert len(rows) == n
         assert {r["scc_id"] for r in rows} == {"n00"}
         assert all(r["scc_size"] == n for r in rows)
+
+
+class TestCentrality:
+    def test_path_graph_distances(self, spark):
+        from python_fastly_log_query_spark.operators.webgraph import (
+            centrality_stats,
+        )
+
+        rows = {
+            r["host"]: r
+            for r in centrality_stats(
+                _edges(spark, [("a", "b"), ("b", "c")])
+            ).collect()
+        }
+        assert rows["a"]["reachable"] == 2
+        assert rows["a"]["eccentricity"] == 2
+        assert rows["a"]["harmonic_ppm"] == 1_000_000 + 500_000
+        assert rows["b"]["reachable"] == 1
+        assert rows["b"]["harmonic_ppm"] == 1_000_000
+        # sink: reaches nothing, zeros (harmonic handles it; closeness can't)
+        assert rows["c"]["reachable"] == 0
+        assert rows["c"]["eccentricity"] == 0
+        assert rows["c"]["harmonic_ppm"] == 0
+
+    def test_ring_needs_doubling(self, spark):
+        from python_fastly_log_query_spark.operators.webgraph import (
+            centrality_stats,
+        )
+
+        n = 12
+        ring = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+        rows = centrality_stats(_edges(spark, ring)).collect()
+        want = sum(1_000_000 // d for d in range(1, n))
+        for r in rows:
+            assert r["reachable"] == n - 1
+            assert r["eccentricity"] == n - 1
+            assert r["harmonic_ppm"] == want
+
+
+class TestBMPCodec:
+    def test_roundtrip_matches_rule_and_is_real_bmp(self, spark):
+        import hashlib
+        import struct
+
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _bmp_px,
+            bmp_from_docs,
+            decode_bmp,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        media = {r["media_id"]: bytes(r["data"]) for r in bmp_from_docs(docs).collect()}
+        decoded = {r["media_id"]: r for r in decode_bmp(bmp_from_docs(docs)).collect()}
+        for did, data in media.items():
+            # independent header re-parse: magic, declared size == payload size
+            assert data[:2] == b"BM"
+            assert struct.unpack_from("<I", data, 2)[0] == len(data)
+            w, h = 4 + did % 13, 3 + did % 5
+            seed = int(hashlib.md5(f"bmp-{did}".encode()).hexdigest()[:8], 16)
+            d = decoded[did]
+            assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+            for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+                want = sum(
+                    _bmp_px(seed, x, y, ci) for x in range(w) for y in range(h)
+                )
+                assert d[col] == want, (did, col)
+            assert d["corner_rgb"] == (
+                (_bmp_px(seed, 0, 0, 0) << 16)
+                | (_bmp_px(seed, 0, 0, 1) << 8)
+                | _bmp_px(seed, 0, 0, 2)
+            )
+
+    def test_corner_pins_bottom_up_row_order(self):
+        """Flipping the stored rows of a valid payload (i.e. a writer
+        that ignored BMP's bottom-up convention) keeps the permutation-
+        invariant channel sums but MUST change corner_rgb."""
+        import hashlib
+        import io
+
+        from python_fastly_log_query_spark.operators.multimodal import _bmp_parse
+
+        # build one payload inline via the same code path (no Spark needed)
+        import pandas as pd
+        from python_fastly_log_query_spark.operators import multimodal as MM
+
+        did, w, h = 1, 5, 4
+        seed = int(hashlib.md5(f"bmp-{did}".encode()).hexdigest()[:8], 16)
+        # reconstruct with the encoder's exact layout
+        pad = (4 - (3 * w) % 4) % 4
+        stride = 3 * w + pad
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            for x in range(w):
+                body += bytes(
+                    (MM._bmp_px(seed, x, y, 2), MM._bmp_px(seed, x, y, 1),
+                     MM._bmp_px(seed, x, y, 0))
+                )
+            body += b"\x00" * pad
+        import struct
+
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + h * stride, 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0
+        )
+        good = bytes(hdr + info + body)
+        rows = [body[i * stride : (i + 1) * stride] for i in range(h)]
+        flipped = bytes(hdr + info + b"".join(reversed(rows)))
+        a, b = _bmp_parse(good), _bmp_parse(flipped)
+        assert (a["sum_r"], a["sum_g"], a["sum_b"]) == (
+            b["sum_r"], b["sum_g"], b["sum_b"],
+        )
+        assert a["corner_rgb"] != b["corner_rgb"]
+
+    def test_decode_rejects_non_bmp(self, spark):
+        import pytest as _pytest
+
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _bmp_parse,
+            decode_bmp,
+        )
+
+        assert _bmp_parse(b"GIF89a not a bitmap") is None
+        bad = spark.createDataFrame(
+            [(0, "image", b"GIF89a not a bitmap", {"codec": "gif"})],
+            "media_id long, kind string, data binary, meta map<string,string>",
+        )
+        with _pytest.raises(Exception, match="BMP24"):
+            decode_bmp(bad).collect()
