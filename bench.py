@@ -200,6 +200,7 @@ STANDALONE_QUERIES = [
     "orc_roundtrip_counts",
     "host_centrality_stats",
     "bmp_decode_meta",
+    "tfidf_overlap_pairs",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -296,6 +297,7 @@ SF1_REUSE = [
     "orc_roundtrip_counts",
     "host_centrality_stats",
     "bmp_decode_meta",
+    "tfidf_overlap_pairs",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

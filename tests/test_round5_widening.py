@@ -382,3 +382,56 @@ class TestBMPCodec:
         )
         with _pytest.raises(Exception, match="BMP24"):
             decode_bmp(bad).collect()
+
+
+class TestTfidfOverlap:
+    def test_planted_rare_term_pair_outranks_common_overlap(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import (
+            tfidf_overlap_pairs,
+        )
+
+        # docs 0/1 share a RARE bigram ("zq xk"); docs 2..9 all share a
+        # COMMON one ("aa bb") — with a df cap of 5 the common term is
+        # excluded from the index entirely, so only (0, 1) scores.
+        rows = [(0, "zq xk p1"), (1, "zq xk p2")]
+        rows += [(i, f"aa bb f{i}") for i in range(2, 10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = tfidf_overlap_pairs(
+            docs, ngram=2, df_cap=5, min_score=1
+        ).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+        r = got[0]
+        # n=10 docs, df("zq xk")=2 → idf_k = 10*1000 div 2 = 5000; tf 1·1
+        assert r["shared_terms"] == 1
+        assert r["overlap_score"] == 5000
+
+    def test_tf_weighting_and_threshold(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import (
+            tfidf_overlap_pairs,
+        )
+
+        # doc 0 repeats the rare bigram twice (as two disjoint windows),
+        # so tf_a=2 doubles the pair score vs the single-occurrence pair
+        docs = spark.createDataFrame(
+            [
+                (0, "zq xk r zq xk"),
+                (1, "zq xk s"),
+                (2, "zq xk t"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["overlap_score"]
+            for r in tfidf_overlap_pairs(
+                docs, ngram=2, df_cap=5, min_score=1
+            ).collect()
+        }
+        # df("zq xk")=3, n=3 → idf_k = 1000
+        assert got[(1, 2)] == 1000
+        assert got[(0, 1)] == 2000 and got[(0, 2)] == 2000
+        # threshold is inclusive
+        kept = tfidf_overlap_pairs(docs, ngram=2, df_cap=5, min_score=2000)
+        assert {(r["doc_a"], r["doc_b"]) for r in kept.collect()} == {
+            (0, 1),
+            (0, 2),
+        }
