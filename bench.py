@@ -201,6 +201,8 @@ STANDALONE_QUERIES = [
     "host_centrality_stats",
     "bmp_decode_meta",
     "tfidf_overlap_pairs",
+    "containment_neardup_pairs",
+    "warc_roundtrip_host_stats",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -298,6 +300,12 @@ SF1_REUSE = [
     "host_centrality_stats",
     "bmp_decode_meta",
     "tfidf_overlap_pairs",
+    # r5 finishers: WARC round-trip is file-parallel map-only (linear by
+    # construction); containment's df_cap=20 posting budget self-limits
+    # across the sf0.1->sf1 boundary (4-gram df crosses the cap there on
+    # this bounded-vocab corpus — tfidf/simhash saturation pattern)
+    "containment_neardup_pairs",
+    "warc_roundtrip_host_stats",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

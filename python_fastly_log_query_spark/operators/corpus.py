@@ -1894,12 +1894,19 @@ def tfidf_overlap_pairs(
     """
     from .dedup import word_shingles
 
+    from .dedup import selfjoin_ready
+
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), ngram)).alias("w"),
     )
-    tok = sh.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # (doc, term, tf) feeds THREE consumers (corpus count, df aggregate,
+    # index build) — persist via the lifecycle registry so the explode/
+    # aggregate pipeline runs once
+    tok = selfjoin_ready(
+        sh.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
     )
     stats = tok.agg(F.countDistinct("doc_id").cast("long").alias("n"))
     rare = (
@@ -1907,7 +1914,10 @@ def tfidf_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .filter(F.col("df") <= df_cap)
     )
-    idx = (
+    # the indexed frame feeds both self-join sides: persist it too or
+    # the rare-join runs twice (tok + idx persists together: measured
+    # 58s -> single-digit at sf0.1)
+    idx = selfjoin_ready(
         tok.join(rare, "w")
         .join(F.broadcast(stats))
         .selectExpr("doc_id", "w", "tf", "n * 1000L div df AS idf_k")
@@ -1966,4 +1976,128 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM idx a JOIN idx b ON a.w = b.w AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING sum(a.tf * b.tf * a.idf_k) >= {min_score}
+"""
+
+
+def containment_pairs(
+    docs: DataFrame,
+    ngram: int = 4,
+    df_cap: int = 50,
+    min_containment_k: int = 800,
+    min_evidence: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup join (the seventh near-dup
+    family): directional pairs ``(doc_a contained-in doc_b)`` scored by
+    set containment ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|`` over word
+    n-gram shingles — the quantity Jaccard families structurally miss:
+    a 10-word quote inside a 10k-word page has Jaccard ~0.001 (invisible
+    to MinHash/SimHash at any plausible threshold) but containment 1.0.
+    This is how quote farms, syndicated snippets, and scraped-excerpt
+    sites are found in web corpora (Broder's original resemblance paper
+    defines both; the symmetric half got all the deployments).
+
+    Both numerator and denominator live in the INDEXED (rare) shingle
+    universe: only shingles appearing in ≤ ``df_cap`` docs are posted
+    (the tfidf_overlap_pairs absolute-budget scale argument — candidate
+    volume ≤ distinct_shingles · cap², linear in vocabulary growth,
+    never N²), and ``evidence_size`` counts doc_a's RARE distinct
+    shingles, so a planted exact excerpt scores containment_k = 1000 at
+    ANY corpus scale (a raw-|S(A)| denominator would decay as common
+    shingles fall out of the index with N).  Docs with fewer than
+    ``min_evidence`` indexed shingles are excluded — one shared rare
+    shingle is not containment evidence.
+
+    Plan: shingle explode (map-only) -> distinct -> df aggregate
+    (shingle-dim sized) -> rare filter -> ONE equi-join on the shingle
+    key (never a cross product) -> directional pair aggregate -> join
+    doc_a's evidence size.  Everything integer
+    (``containment_k = shared·1000 div evidence``).  The indexed frame
+    feeds THREE consumers (both self-join sides + the evidence sizes),
+    so it goes through :func:`~.dedup.selfjoin_ready` — computed once,
+    lifecycle-scoped persist (measured 78s -> single-digit at sf0.1
+    without it the shingle/distinct pipeline runs three times).
+
+    Returns ``(doc_a, doc_b, shared_shingles, evidence_size,
+    containment_k)`` with doc_a ≠ doc_b (directional — A-in-B and
+    B-in-A are different facts with different denominators).
+    """
+    from .dedup import selfjoin_ready, word_shingles
+
+    tok = selfjoin_ready(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("w"),
+        ).distinct()
+    )
+    rare = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("w")
+    )
+    idx = selfjoin_ready(tok.join(rare, "w"))
+    sizes = idx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("evidence_size")
+    )
+    a = idx.select(F.col("doc_id").alias("doc_a"), "w")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "w")
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(F.col("evidence_size") >= min_evidence)
+        .withColumn(
+            "containment_k",
+            F.expr("shared_shingles * 1000L div evidence_size"),
+        )
+        .filter(F.col("containment_k") >= min_containment_k)
+        .select(
+            "doc_a", "doc_b", "shared_shingles", "evidence_size",
+            "containment_k",
+        )
+    )
+
+
+def containment_sql(
+    ngram: int = 4,
+    df_cap: int = 50,
+    min_containment_k: int = 800,
+    min_evidence: int = 3,
+    docs_cte: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`containment_pairs` — identical shingle
+    rule (short texts yield one whole-text shingle), identical rare
+    filter, directional pairs, integer containment."""
+    gram = " || ' ' || ".join(f"lt[i+{j}]" for j in range(ngram))
+    return f"""
+la AS (SELECT doc_id, text, string_split(text, ' ') AS lt FROM {docs_cte}),
+cterms AS (SELECT doc_id,
+                  CASE WHEN len(lt) >= {ngram}
+                       THEN list_transform(range(1, len(lt) - {ngram - 2}),
+                                           i -> {gram})
+                       ELSE [text] END AS ws
+           FROM la),
+ctok AS (SELECT DISTINCT doc_id, w
+         FROM (SELECT doc_id, unnest(ws) AS w FROM cterms)),
+crare AS (SELECT w FROM ctok GROUP BY w HAVING count(*) <= {df_cap}),
+cidx AS (SELECT t.doc_id, t.w FROM ctok t JOIN crare r USING (w)),
+csizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS evidence_size
+           FROM cidx GROUP BY 1),
+cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS shared_shingles
+           FROM cidx a JOIN cidx b ON a.w = b.w AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.shared_shingles,
+       s.evidence_size,
+       CAST(p.shared_shingles * 1000 // s.evidence_size AS BIGINT)
+         AS containment_k
+FROM cpairs p JOIN csizes s ON s.doc_id = p.doc_a
+WHERE s.evidence_size >= {min_evidence}
+  AND p.shared_shingles * 1000 // s.evidence_size >= {min_containment_k}
 """

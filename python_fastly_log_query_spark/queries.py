@@ -8062,6 +8062,140 @@ def q_tfidf_overlap_pairs(spark, sf):
     return tfidf_overlap_pairs(docs, ngram=2, df_cap=50, min_score=300_000)
 
 
+# Deterministic excerpt augmentation for the containment family: one
+# planted snippet doc per 20 corpus docs — doc k's words 2..9 as a new
+# doc with id -(k+1).  A snippet's word 4-grams are contiguous 4-grams
+# of its parent, so its indexed-shingle containment in the parent is
+# EXACTLY 1000 at any corpus scale (ground truth linear in N, one
+# directional pair per twenty docs, same pattern as the t08 embedding
+# plants).  Replayed verbatim in SQL: list_slice(lt, 2, 9) ==
+# F.slice(arr, 2, 8) (elements 2..9, both clamped on short docs).
+_CONTAIN_AUG_CTE = """
+cdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 2, 9), ' ')
+           AS text
+  FROM documents WHERE doc_id % 20 = 0
+)
+"""
+
+
+def _contain_aug_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base = docs.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 2, 8), " ").alias("text"),
+    )
+    return base.unionAll(planted)
+
+
+def _containment_oracle() -> str:
+    from .operators.corpus import containment_sql
+
+    return (
+        f"WITH {_CONTAIN_AUG_CTE.strip().rstrip()}, "
+        + containment_sql(
+            ngram=4, df_cap=20, min_containment_k=800, min_evidence=3,
+            docs_cte="cdocs",
+        )
+    )
+
+
+@register("containment_neardup_pairs", _containment_oracle())
+def q_containment_neardup_pairs(spark, sf):
+    """ASYMMETRIC containment near-dup join (operators/corpus.py:
+    containment_pairs) — the seventh near-dup family, and the only
+    DIRECTIONAL one: ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|`` over word
+    4-gram shingles finds excerpts, syndicated snippets and quote farms
+    that every symmetric family structurally misses (a short excerpt
+    inside a long page has Jaccard ≈ |A|/|B| → 0, cosine diluted, edit
+    distance huge — but containment 1.0).  Runs over a deterministically
+    augmented frame with one planted excerpt doc per 20 docs (words
+    2..9 of the parent, id -(k+1)), so ground truth is linear in N and
+    BOTH branches are witnessed at every scale: planted pairs score
+    containment_k = 1000 exactly (numerator and denominator live in the
+    same indexed-shingle universe), random pairs fall below 800.  Scale
+    contract: the absolute df_cap=20 posting budget bounds the shingle
+    self-join at distinct_shingles · cap² — linear in vocabulary growth,
+    never N².  On THIS bounded-(~30-word)-vocabulary corpus, 4-gram df
+    crosses the cap between sf0.1 (mean df ~3.5) and sf1 (~35), so the
+    index self-limits at the decade boundary instead of riding Σdf²
+    through it — the tfidf_overlap / simhash saturation pattern; the
+    production dial on an open-vocabulary web corpus is the cap itself
+    (posting lists are capped absolutely, so candidates track vocabulary
+    growth, which for web text is unbounded)."""
+    from .operators.corpus import containment_pairs
+
+    return containment_pairs(
+        _contain_aug_docs(spark, sf),
+        ngram=4, df_cap=20, min_containment_k=800, min_evidence=3,
+    )
+
+
+@register(
+    "warc_roundtrip_host_stats",
+    """
+SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS host,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+         AS payload_bytes,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+         AS payload_sig
+FROM documents GROUP BY 1
+""",
+)
+def q_warc_roundtrip_host_stats(spark, sf):
+    """WARC sink + source round-trip (sources/warc.py) — the web-crawl
+    archive format (ISO 28500; Common Crawl's corpus ships as WARC) as
+    a first-class source beside text/gzip logs, parquet, ORC, JSON and
+    CSV.  The documents table is serialized as WARC/1.0 response
+    records in Common Crawl layout (ONE GZIP MEMBER PER RECORD,
+    concatenated — the property that lets a petabyte crawl split at
+    member boundaries), written as 8 files, read back through the
+    binaryFile scan (one task per file — CC's own parallelism unit,
+    ~100k files at 100 TB, zero shuffle) and a single Arrow-batched
+    Content-Length-driven record splitter, then aggregated per host.
+    The oracle aggregates the ORIGINAL parquet, so agreement proves the
+    framing + gzip-member encode/decode byte-lossless: docs (no record
+    lost/duplicated), payload_bytes (lengths exact), payload_sig (md5
+    prefix mass — content exact, not just sizes).  Splitter never scans
+    payload bytes, so bodies containing "WARC/1.0" or CRLFCRLF cannot
+    tear records (pinned in tests/test_warc_source.py)."""
+    from .sources.warc import read_warc, write_warc
+
+    work, _ = _stream_scratch(spark, "warc_roundtrip")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    recs = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    write_warc(recs, f"{work}/warc", n_files=8)
+    parsed = read_warc(spark, f"{work}/warc")
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return (
+        parsed.select(host.alias("host"), "payload", "content_length")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("content_length").alias("payload_bytes"),
+            F.sum(
+                F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("payload_sig"),
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
