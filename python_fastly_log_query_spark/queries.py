@@ -8196,6 +8196,68 @@ def q_warc_roundtrip_host_stats(spark, sf):
     )
 
 
+@register(
+    "cdx_fetch_host_stats",
+    """
+SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS host,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+         AS payload_bytes,
+       CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+         AS payload_sig
+FROM documents WHERE doc_id % 7 = 3 GROUP BY 1
+""",
+)
+def q_cdx_fetch_host_stats(spark, sf):
+    """CDX-indexed random access into a WARC archive (sources/warc.py:
+    write_warc_indexed + fetch_warc_records) — the lookup half of the
+    Common Crawl index contract.  The documents table is archived as
+    member-per-record WARC with the (url, file, offset, length) index
+    emitted AS A BY-PRODUCT of the write (the writer task already knows
+    each member's offset — zero extra corpus passes), then a 1-in-7
+    deterministic subset of urls is fetched BY BYTE RANGE: the fetch
+    task seeks to each member's offset and reads exactly its length;
+    the member-per-record gzip layout makes that slice a standalone
+    stream, so nothing else in the archive is read or decompressed
+    (corrupt-neighbor isolation pinned in tests/test_warc_source.py).
+    At 10^12 docs, fetching k documents costs k·avg_member bytes of
+    I/O — corpus size never enters.  The oracle aggregates the SAME
+    1-in-7 subset of the original parquet, so agreement proves the
+    index addressed the right members and range-decode is byte-exact
+    (docs / lengths / md5-prefix content mass)."""
+    from .sources.warc import fetch_warc_records, write_warc_indexed
+
+    work, _ = _stream_scratch(spark, "cdx_fetch")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    recs = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    index = write_warc_indexed(recs, f"{work}/warc", f"{work}/cdx", n_files=8)
+    wanted = index.filter(F.col("seq") % 7 == 3)
+    fetched = fetch_warc_records(spark, f"{work}/warc", wanted)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return (
+        fetched.select(host.alias("host"), "payload", "content_length")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("content_length").alias("payload_bytes"),
+            F.sum(
+                F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("payload_sig"),
+        )
+    )
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

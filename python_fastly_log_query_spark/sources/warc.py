@@ -45,7 +45,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["WARC_SCHEMA", "write_warc", "read_warc"]
+__all__ = [
+    "WARC_SCHEMA",
+    "CDX_SCHEMA",
+    "write_warc",
+    "write_warc_indexed",
+    "read_warc",
+    "fetch_warc_records",
+]
 
 # Output schema of the record splitter.  ``file``/``rec_index`` are the
 # lineage columns (same discipline as sources/logfiles.py line lineage).
@@ -62,6 +69,12 @@ _GZIP_MAGIC = b"\x1f\x8b"
 # Fixed, deterministic WARC-Date for synthesized archives (the table has
 # no crawl-time column; a wall-clock date would break byte determinism).
 _FIXED_DATE = "2026-01-01T00:00:00Z"
+
+# CDX-style index row (Common Crawl's cluster.idx / cdx-*.gz carry the
+# same triple): the (file, offset, length) of a record's OWN gzip member
+# — because each record is a standalone member, that byte range decodes
+# with no other byte of the archive.
+CDX_SCHEMA = "url string, seq long, file string, offset long, length long"
 
 
 def _record_bytes(url: str, payload: bytes, rec_id: str, date: str) -> bytes:
@@ -136,6 +149,123 @@ def write_warc(
         .applyInPandas(_write, "file string, n_records long, n_bytes long")
     )
     return plan.collect()  # n_files rows — the eager write action
+
+
+def write_warc_indexed(
+    records: DataFrame,
+    path: str,
+    index_path: str,
+    n_files: int = 8,
+) -> DataFrame:
+    """:func:`write_warc` plus a CDX-style index, built AS A BY-PRODUCT
+    of the write — the pattern behind Common Crawl's URL index: each
+    writer task already knows every member's byte offset (it put it
+    there), so the index costs zero extra passes over the corpus.  The
+    archive bytes are identical to ``write_warc``'s (pinned by test).
+
+    Writes ``part-NNNNN.warc.gz`` files under ``path`` and the index as
+    parquet at ``index_path`` (``CDX_SCHEMA``: url, seq, file, offset,
+    length); returns the index frame read back.  Because every record is
+    its own gzip member, ``file[offset : offset+length]`` decodes
+    standalone — the property that lets :func:`fetch_warc_records` (and
+    Common Crawl's own range requests) pull one document out of a
+    petabyte archive reading exactly ``length`` bytes.
+
+    Scale: the index is ~60 B/doc (10^12 docs → ~60 TB archive keys in
+    a few-TB parquet table, itself partition-prunable by file); the
+    write plan is the same one-task-per-file ``applyInPandas`` as
+    ``write_warc``, with the index rows riding out as the task's output
+    instead of a 1-row summary.
+    """
+    os.makedirs(path, exist_ok=True)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        pdf = pdf.sort_values("seq")
+        fid = int(pdf["file_id"].iloc[0])
+        fname = f"part-{fid:05d}.warc.gz"
+        out = io.BytesIO()
+        idx = []
+        for seq, url, payload in zip(pdf["seq"], pdf["url"], pdf["payload"]):
+            payload = bytes(payload)
+            rec_id = hashlib.md5(f"warc-{int(seq)}".encode()).hexdigest()
+            member = gzip.compress(
+                _record_bytes(str(url), payload, rec_id, _FIXED_DATE),
+                6,
+                mtime=0,
+            )
+            idx.append((str(url), int(seq), fname, out.tell(), len(member)))
+            out.write(member)
+        with open(os.path.join(path, fname), "wb") as f:
+            f.write(out.getvalue())
+        return pd.DataFrame(
+            idx, columns=["url", "seq", "file", "offset", "length"]
+        )
+
+    (
+        records.withColumn("file_id", (F.col("seq") % n_files).cast("long"))
+        .groupBy("file_id")
+        .applyInPandas(_write, CDX_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(index_path)  # materializing the index IS the write action
+    )
+    return records.sparkSession.read.parquet(index_path)
+
+
+def fetch_warc_records(
+    spark: SparkSession, warc_path: str, index: DataFrame
+) -> DataFrame:
+    """Random-access record fetch: given CDX index rows, return the
+    addressed records — reading ONLY each record's own byte range, never
+    scanning or decompressing the rest of the archive (the member-per-
+    record layout makes ``seek(offset); read(length)`` a complete,
+    standalone gzip stream; pinned by a corrupt-neighbor test).
+
+    This is the lookup half of the Common Crawl index contract: at
+    100 TB, fetching k documents costs k·avg_member bytes of I/O —
+    corpus size never appears in the cost.  Plan: one shuffle of the
+    (already filtered, k-row) index by file, then one task per touched
+    file opening it once and seeking member-to-member in offset order;
+    parallelism = files touched, payload bytes move only executor-side.
+
+    Returns ``(url, seq, content_length, payload)``.
+    """
+
+    def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")  # one forward pass per file
+        fname = os.path.join(warc_path, str(pdf["file"].iloc[0]))
+        rows = []
+        with open(fname, "rb") as f:
+            for url, seq, off, ln in zip(
+                pdf["url"], pdf["seq"], pdf["offset"], pdf["length"]
+            ):
+                f.seek(int(off))
+                member = f.read(int(ln))
+                data = (
+                    gzip.decompress(member)
+                    if member[:2] == _GZIP_MAGIC
+                    else member
+                )
+                recs = list(_iter_records(data, strict=True))
+                if len(recs) != 1:
+                    raise ValueError(
+                        f"index range {fname}@{off}+{ln} held "
+                        f"{len(recs)} records, expected exactly 1"
+                    )
+                hdr, payload = recs[0]
+                rows.append((str(url), int(seq), len(payload), payload))
+        return pd.DataFrame(
+            rows, columns=["url", "seq", "content_length", "payload"]
+        )
+
+    return (
+        index.select("url", "seq", "file", "offset", "length")
+        .groupBy("file")
+        .applyInPandas(
+            _fetch, "url string, seq long, content_length long, payload binary"
+        )
+    )
 
 
 def _gunzip_members(data: bytes) -> bytes:

@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 
 from python_fastly_log_query_spark.sources.warc import (
     _gunzip_members,
+    fetch_warc_records,
     read_warc,
     write_warc,
+    write_warc_indexed,
 )
 
 
@@ -135,6 +137,72 @@ def test_truncated_gzip_member_raises(tmp_path):
     assert _gunzip_members(whole + whole) == b"WARC/1.0\r\n\r\n" * 2
     with pytest.raises(ValueError, match="truncated gzip member"):
         _gunzip_members(whole + whole[:-4])
+
+
+def test_cdx_index_invariants_and_archive_bytes(spark, tmp_path):
+    """The indexed writer produces byte-identical archives to write_warc
+    (the index is a pure by-product), and the index tiles each file
+    exactly: offsets start at 0, each next offset = previous end, and
+    the last end = file size."""
+    df = _records_df(spark, PAYLOADS)
+    write_warc(df, str(tmp_path / "plain_w"), n_files=2)
+    idx = write_warc_indexed(
+        df, str(tmp_path / "idx_w"), str(tmp_path / "cdx"), n_files=2
+    ).collect()
+    for f in os.listdir(tmp_path / "plain_w"):
+        assert (
+            open(tmp_path / "plain_w" / f, "rb").read()
+            == open(tmp_path / "idx_w" / f, "rb").read()
+        )
+    assert len(idx) == len(PAYLOADS)
+    per_file: dict = {}
+    for r in idx:
+        per_file.setdefault(r.file, []).append((r.offset, r.length))
+    for fname, spans in per_file.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2  # members tile with no gap/overlap
+        size = os.path.getsize(tmp_path / "idx_w" / fname)
+        assert spans[-1][0] + spans[-1][1] == size
+
+
+def test_cdx_fetch_is_byte_exact_and_range_isolated(spark, tmp_path):
+    """fetch_warc_records returns byte-exact payloads for the addressed
+    subset — and reads ONLY the addressed ranges: corrupting a member
+    that is NOT in the fetch set leaves every fetched record intact (a
+    whole-file scan/decode would die on the corrupt neighbor)."""
+    df = _records_df(spark, PAYLOADS)
+    idx = write_warc_indexed(
+        df, str(tmp_path / "arch"), str(tmp_path / "cdx"), n_files=1
+    )
+    rows = sorted(idx.collect(), key=lambda r: r.seq)
+    victim = rows[1]  # will be corrupted; never fetched
+    fetch_set = [r for r in rows if r.seq != victim.seq]
+
+    fpath = tmp_path / "arch" / victim.file
+    blob = bytearray(open(fpath, "rb").read())
+    for i in range(victim.offset, victim.offset + victim.length):
+        blob[i] ^= 0xFF
+    open(fpath, "wb").write(bytes(blob))
+
+    keep = idx.filter(F.col("seq") != victim.seq)
+    out = {r.seq: r for r in fetch_warc_records(
+        spark, str(tmp_path / "arch"), keep
+    ).collect()}
+    assert len(out) == len(fetch_set)
+    for i, p in enumerate(PAYLOADS):
+        if i == victim.seq:
+            continue
+        assert bytes(out[i].payload) == p
+        assert out[i].url == f"https://host{i % 3}.example/p/{i}"
+
+    # and fetching the corrupted member itself fails loudly, not silently
+    with pytest.raises(Exception):
+        fetch_warc_records(
+            spark, str(tmp_path / "arch"),
+            idx.filter(F.col("seq") == victim.seq),
+        ).collect()
 
 
 def test_splitter_is_content_length_driven(spark, tmp_path):
