@@ -203,6 +203,8 @@ STANDALONE_QUERIES = [
     "tfidf_overlap_pairs",
     "containment_neardup_pairs",
     "warc_roundtrip_host_stats",
+    "cdx_fetch_host_stats",
+    "host_coreness",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -306,6 +308,12 @@ SF1_REUSE = [
     # this bounded-vocab corpus — tfidf/simhash saturation pattern)
     "containment_neardup_pairs",
     "warc_roundtrip_host_stats",
+    # CDX fetch reads k=N/7 members by byte range — I/O linear in the
+    # fetch set, never in archive size; coreness scans the corpus once
+    # for edges, then iterates on the fixed 37-host dim (host-dim work
+    # is constant across sf, so growth tracks the edge-extraction scan)
+    "cdx_fetch_host_stats",
+    "host_coreness",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

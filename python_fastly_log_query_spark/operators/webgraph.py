@@ -905,3 +905,101 @@ SELECT n.host, coalesce(r.reachable, 0) AS reachable,
        coalesce(r.harmonic_ppm, 0) AS harmonic_ppm
 FROM nodes n LEFT JOIN roll r ON r.rhost = n.host"""
     return ctes, final
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def coreness(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Coreness (k-core number) of every host in the UNDIRECTED host
+    graph — the standard crawl-frontier density signal: a host's
+    coreness is the largest k such that it survives in the subgraph
+    where every vertex keeps degree >= k.  Link farms and mutual-
+    exchange rings sit in high cores at modest PageRank; long tendrils
+    of organic sites peel off at k=1-2 — coreness complements
+    clustering (local) and SCC (reachability) with the global density
+    hierarchy.
+
+    Algorithm: the h-index fixpoint (Lu-Chen-Zhang 2016): initialise
+    every vertex's estimate to its degree, then repeatedly replace it
+    with the H-INDEX of its neighbours' estimates (the largest h such
+    that >= h neighbours hold estimate >= h).  The sequence is
+    monotone non-increasing and converges exactly to the coreness —
+    no sequential peeling, every vertex updates in parallel per round
+    (classic peeling is inherently serial: each removal changes the
+    next decision; the h-index form is what makes k-core a Spark job).
+
+    Per round the plan is: one equi-join of the adjacency list with the
+    host-dim-sized estimate frame, a (host, est) groupBy COUNT with
+    map-side partials, then a per-host window over the DISTINCT
+    estimate values only (h-index = max over distinct v of
+    min(v, #neighbours >= v) — evaluating at distinct values is exact:
+    for optimal H pick the smallest distinct value v >= H, then
+    count>=v = count>=H >= H and min(v, count) >= H, while every
+    min(v, c_v) is itself an attainable h).  The window partition is
+    bounded by the number of distinct neighbour estimates (<= coreness
+    bound, NOT the degree) — the 10^7-degree hub sorts a handful of
+    rows, not its adjacency.  ``rounds`` must cover the graph's
+    convergence depth; round-to-round equality is pinned by test at
+    the registered config.
+
+    Returns ``(host, degree, coreness)``.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced 2x + per-round lineage root
+    )
+    adj = und.select(F.col("a").alias("h"), F.col("b").alias("nb")).unionAll(
+        und.select(F.col("b").alias("h"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    est = deg.select("h", F.col("deg").alias("est"))
+    w = Window.partitionBy("h").orderBy(F.desc("est"))
+    for _ in range(rounds):
+        nbr = adj.join(
+            est.select(F.col("h").alias("nb"), "est"), "nb"
+        ).select("h", "est")
+        cnt = nbr.groupBy("h", "est").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        est = (
+            cnt.withColumn("c", F.sum("n").over(w))
+            .groupBy("h")
+            .agg(F.max(F.least("est", "c")).alias("est"))
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+    return deg.join(est, "h").select(
+        F.col("h").alias("host"),
+        F.col("deg").alias("degree"),
+        F.col("est").alias("coreness"),
+    )
+
+
+def coreness_sql(rounds: int = 8, edges_cte: str = "edges") -> tuple[str, str]:
+    """(CTE chain, final select) mirroring :func:`coreness` — the same
+    h-index iteration unrolled ``rounds`` times (both engines run the
+    IDENTICAL round count, so results match even before convergence;
+    the convergence-at-rounds test is what licenses calling the output
+    'coreness')."""
+    ctes = f"""
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM {edges_cte} WHERE src <> dst),
+adj AS (SELECT a AS h, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT h, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+e0 AS (SELECT h, deg AS est FROM deg)"""
+    for k in range(1, rounds + 1):
+        ctes += f""",
+e{k} AS (SELECT h, CAST(max(least(est, c)) AS BIGINT) AS est FROM (
+  SELECT h, est, sum(n) OVER (PARTITION BY h ORDER BY est DESC) AS c
+  FROM (SELECT adj.h AS h, p.est AS est, CAST(count(*) AS BIGINT) AS n
+        FROM adj JOIN e{k - 1} p ON p.h = adj.nb GROUP BY 1, 2))
+  GROUP BY 1)"""
+    final = f"""
+SELECT deg.h AS host, deg.deg AS degree, e{rounds}.est AS coreness
+FROM deg JOIN e{rounds} ON e{rounds}.h = deg.h"""
+    return ctes, final

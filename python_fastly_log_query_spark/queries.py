@@ -8258,6 +8258,32 @@ def q_cdx_fetch_host_stats(spark, sf):
     )
 
 
+def _coreness_oracle() -> str:
+    from .operators.webgraph import coreness_sql
+
+    ctes, final = coreness_sql(rounds=8)
+    return f"WITH {_WG_EDGES_SQL}, {ctes} {final}"
+
+
+@register("host_coreness", _coreness_oracle())
+def q_host_coreness(spark, sf):
+    """k-core number of every host in the link graph
+    (operators/webgraph.py:coreness) — the global density hierarchy
+    completing the graph family: PageRank ranks authority, clustering
+    flags local cliques, SCC finds cycles; coreness says how deep in
+    the mutually-dense nucleus a host sits (link rings live in high
+    cores, organic tendrils peel at k<=2).  Computed as the h-index
+    fixpoint — every vertex in parallel per round, no serial peeling —
+    with per-round cost one adjacency equi-join + a (host, est) count
+    + a window over DISTINCT estimate values only (hub-degree safe).
+    The oracle unrolls the identical 8 rounds; convergence by round 8
+    on this graph is pinned separately in tests/test_webgraph.py."""
+    from .operators.webgraph import coreness, extract_outlinks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return coreness(extract_outlinks(_wg_pages_spark(docs)), rounds=8)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win
