@@ -205,6 +205,7 @@ STANDALONE_QUERIES = [
     "warc_roundtrip_host_stats",
     "cdx_fetch_host_stats",
     "host_coreness",
+    "avi_decode_meta",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -314,6 +315,8 @@ SF1_REUSE = [
     # is constant across sf, so growth tracks the edge-extraction scan)
     "cdx_fetch_host_stats",
     "host_coreness",
+    # AVI encode+decode is mapInPandas both ways — per-doc constant work
+    "avi_decode_meta",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

@@ -8258,6 +8258,67 @@ def q_cdx_fetch_host_stats(spark, sf):
     )
 
 
+@register(
+    "avi_decode_meta",
+    """
+WITH base AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         2 + doc_id % 4 AS h,
+         2 + doc_id % 5 AS nf,
+         10 + doc_id % 20 AS rate,
+         CAST('0x' || substr(md5('avi-' || doc_id), 1, 8) AS BIGINT) AS seed,
+         (4 - (3 * (4 + doc_id % 9)) % 4) % 4 AS pad
+  FROM documents)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(24 AS INT) AS bpp,
+       CAST(nf AS INT) AS n_frames,
+       CAST(rate AS INT) AS fps_rate,
+       CAST(1 AS INT) AS fps_scale,
+       CAST(1000 * nf // rate AS BIGINT) AS duration_ms,
+       CAST(224 + nf * (8 + h * (3 * w + pad)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(nf * w * h),
+            i -> (seed + 97 * ((i % (w * h)) % w) + 131 * ((i % (w * h)) // w)
+                  + 193 * (i // (w * h))) % 256)) AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(nf * w * h),
+            i -> (seed + 97 * ((i % (w * h)) % w) + 131 * ((i % (w * h)) // w)
+                  + 193 * (i // (w * h)) + 57) % 256)) AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(nf * w * h),
+            i -> (seed + 97 * ((i % (w * h)) % w) + 131 * ((i % (w * h)) // w)
+                  + 193 * (i // (w * h)) + 114) % 256)) AS BIGINT) AS sum_b,
+       CAST((seed % 256) * 65536 + ((seed + 57) % 256) * 256
+            + (seed + 114) % 256 AS BIGINT) AS corner_rgb_f0,
+       CAST(((seed + 193 * (nf - 1)) % 256) * 65536
+            + ((seed + 193 * (nf - 1) + 57) % 256) * 256
+            + (seed + 193 * (nf - 1) + 114) % 256 AS BIGINT) AS corner_rgb_last
+FROM base
+""",
+)
+def q_avi_decode_meta(spark, sf):
+    """REAL video codec path — the LAST declared multimodal stub made
+    genuine (after wav_decode_meta for audio, bmp_decode_meta for
+    images): one RIFF 'AVI ' container per document assembled
+    byte-by-byte by the ENCODER (multimodal.avi_from_docs — stdlib
+    struct, nested LIST(hdrl){avih,strl{strh,strf}} + LIST(movi) chunk
+    tree, uncompressed bottom-up BGR DIB frames) and walked back by the
+    DECODER (multimodal.decode_avi — a spec-honest RIFF chunk walker,
+    no fixed offsets).  The per-channel sums span ALL frames
+    (order-invariant content mass); corner_rgb_f0 vs corner_rgb_last
+    pin frame ORDER (the 193·f pixel term makes frames distinct);
+    duration_ms pins the scale/rate fps rational; n_bytes pins the
+    exact chunk framing via the closed-form container size.  The
+    oracle recomputes every fact from the deterministic synthesis
+    rule, verifying encoder→decoder end to end.  Map-only
+    ``mapInPandas`` both ways — at 10^12 docs this is one scan, no
+    shuffle, bytes staying in Arrow buffers."""
+    from .operators.multimodal import avi_from_docs, decode_avi
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return decode_avi(avi_from_docs(docs))
+
+
 def _coreness_oracle() -> str:
     from .operators.webgraph import coreness_sql
 

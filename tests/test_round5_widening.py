@@ -435,3 +435,129 @@ class TestTfidfOverlap:
             (0, 1),
             (0, 2),
         }
+
+
+class TestAVICodec:
+    def _payloads(self, spark, n=8):
+        from python_fastly_log_query_spark.operators.multimodal import (
+            avi_from_docs,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        return {
+            r["media_id"]: bytes(r["data"])
+            for r in avi_from_docs(docs).collect()
+        }
+
+    def test_roundtrip_matches_rule_and_is_real_avi(self, spark):
+        import hashlib
+        import struct
+
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _avi_px,
+            avi_from_docs,
+            decode_avi,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        media = self._payloads(spark)
+        decoded = {
+            r["media_id"]: r for r in decode_avi(avi_from_docs(docs)).collect()
+        }
+        for did, data in media.items():
+            # independent container re-parse: RIFF magic + declared size
+            assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+            assert struct.unpack_from("<I", data, 4)[0] == len(data) - 8
+            w, h, nf = 4 + did % 9, 2 + did % 4, 2 + did % 5
+            rate = 10 + did % 20
+            seed = int(hashlib.md5(f"avi-{did}".encode()).hexdigest()[:8], 16)
+            d = decoded[did]
+            assert (d["width"], d["height"], d["bpp"]) == (w, h, 24)
+            assert (d["n_frames"], d["fps_rate"], d["fps_scale"]) == (nf, rate, 1)
+            assert d["duration_ms"] == 1000 * nf // rate
+            assert d["n_bytes"] == len(data)
+            for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+                want = sum(
+                    _avi_px(seed, f, x, y, ci)
+                    for f in range(nf) for x in range(w) for y in range(h)
+                )
+                assert d[col] == want, (did, col)
+            for f, col in ((0, "corner_rgb_f0"), (nf - 1, "corner_rgb_last")):
+                assert d[col] == (
+                    (_avi_px(seed, f, 0, 0, 0) << 16)
+                    | (_avi_px(seed, f, 0, 0, 1) << 8)
+                    | _avi_px(seed, f, 0, 0, 2)
+                ), (did, col)
+
+    def test_corner_last_pins_frame_order(self, spark):
+        """Swapping the first and last '00db' chunks (a demuxer that
+        emits frames out of order) keeps the order-invariant channel
+        sums but MUST change corner_rgb_last (and _f0)."""
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _avi_parse,
+        )
+
+        data = self._payloads(spark)[3]  # nf = 2 + 3 % 5 = 5 frames
+        base = _avi_parse(data)
+        movi = data.index(b"movi")
+        first = data.index(b"00db", movi)
+        sz = base["height"] * ((3 * base["width"] + 3) // 4 * 4)
+        step = 8 + sz
+        last = first + (base["n_frames"] - 1) * step
+        swapped = bytearray(data)
+        swapped[first:first + step], swapped[last:last + step] = (
+            data[last:last + step], data[first:first + step])
+        got = _avi_parse(bytes(swapped))
+        assert (got["sum_r"], got["sum_g"], got["sum_b"]) == (
+            base["sum_r"], base["sum_g"], base["sum_b"])
+        assert got["corner_rgb_f0"] == base["corner_rgb_last"]
+        assert got["corner_rgb_last"] == base["corner_rgb_f0"]
+        assert got["corner_rgb_f0"] != base["corner_rgb_f0"]
+
+    def test_walker_skips_junk_and_honors_word_alignment(self, spark):
+        """A spec-honest reader must skip unknown top-level chunks and
+        advance odd-sized chunks with the RIFF pad byte: inserting an
+        odd-length JUNK chunk between hdrl and movi changes nothing."""
+        import struct
+
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _avi_parse,
+        )
+
+        data = self._payloads(spark)[1]
+        base = _avi_parse(data)
+        movi = data.index(b"LIST" + struct.pack(
+            "<I", 0)[:0] + b"")  # placeholder, recompute below
+        # locate the movi LIST header (the LIST whose type is 'movi')
+        i = 12
+        while True:
+            cid = data[i:i + 4]
+            (sz,) = struct.unpack_from("<I", data, i + 4)
+            if cid == b"LIST" and data[i + 8:i + 12] == b"movi":
+                break
+            i += 8 + sz + (sz & 1)
+        junk = b"JUNK" + struct.pack("<I", 7) + b"padding" + b"\x00"  # odd+pad
+        patched = bytearray(data[:i] + junk + data[i:])
+        struct.pack_into(
+            "<I", patched, 4,
+            struct.unpack_from("<I", bytes(patched), 4)[0] + len(junk))
+        got = _avi_parse(bytes(patched))
+        assert got is not None
+        got["n_bytes"] = base["n_bytes"]  # only size may differ
+        assert got == base
+
+    def test_strict_decode_rejects_non_avi(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _avi_parse, avi_from_docs, decode_avi,
+        )
+
+        assert _avi_parse(b"RIFF\x04\x00\x00\x00WAVE") is None
+        assert _avi_parse(b"not a riff at all") is None
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        broken = avi_from_docs(docs).withColumn(
+            "data", F.expr("substring(data, 1, 40)"))
+        with pytest.raises(Exception):
+            decode_avi(broken).collect()
