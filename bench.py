@@ -206,6 +206,7 @@ STANDALONE_QUERIES = [
     "cdx_fetch_host_stats",
     "host_coreness",
     "avi_decode_meta",
+    "avi_frame_samples",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -317,6 +318,7 @@ SF1_REUSE = [
     "host_coreness",
     # AVI encode+decode is mapInPandas both ways — per-doc constant work
     "avi_decode_meta",
+    "avi_frame_samples",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

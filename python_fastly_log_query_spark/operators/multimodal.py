@@ -594,3 +594,88 @@ def decode_avi(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_iter, schema=AVI_DECODED_SCHEMA)
+
+
+AVI_FRAMES_SCHEMA = (
+    "media_id long, frame_index int, sum_r long, sum_g long, sum_b long, "
+    "corner_rgb long"
+)
+
+
+def avi_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over AVI payloads (supersedes the
+    :func:`frame_sample` stub for genuine containers): emit one row per
+    every_n-th frame with that frame's channel sums and top-left corner
+    — decoding ONLY the sampled '00db' chunks.  The RIFF index walk is
+    header-arithmetic (each chunk's size field says where the next one
+    starts), so a sampler touching 1-in-N frames does 1/N of the pixel
+    work — the property that makes frame sampling affordable on
+    petabyte video corpora.  One-to-many ``mapInPandas`` (row explosion
+    inside Arrow batches), no shuffle."""
+    import struct
+
+    def _frames(data: bytes):
+        """Yield (frame_idx, offset, size) of every '00db' chunk plus
+        the (w, h) geometry — header walk only, no pixel reads."""
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise ValueError("not a RIFF AVI payload")
+        (riff_sz,) = struct.unpack_from("<I", data, 4)
+        end = min(len(data), 8 + riff_sz)
+        w = h = None
+        out = []
+        off = 12
+        while off + 8 <= end:
+            cid = data[off : off + 4]
+            (sz,) = struct.unpack_from("<I", data, off + 4)
+            if cid == b"LIST" and data[off + 8 : off + 12] == b"hdrl":
+                (avih_sz,) = struct.unpack_from("<I", data, off + 16)
+                vals = struct.unpack_from("<14I", data, off + 20)
+                w, h = vals[8], vals[9]
+            elif cid == b"LIST" and data[off + 8 : off + 12] == b"movi":
+                o2, idx = off + 12, 0
+                lend = off + 8 + sz
+                while o2 + 8 <= lend:
+                    c2 = data[o2 : o2 + 4]
+                    (s2,) = struct.unpack_from("<I", data, o2 + 4)
+                    if c2 == b"00db":
+                        out.append((idx, o2 + 8, s2))
+                        idx += 1
+                    o2 += 8 + s2 + (s2 & 1)
+            off += 8 + sz + (sz & 1)
+        if w is None or not out:
+            raise ValueError("AVI payload missing hdrl or frames")
+        return w, h, out
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, d in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(d)
+                w, h, frames = _frames(data)
+                pad = (4 - (3 * w) % 4) % 4
+                stride = 3 * w + pad
+                for idx, off, sz in frames:
+                    if idx % every_n:
+                        continue  # the skipped frame's pixels are never read
+                    sums = [0, 0, 0]
+                    for y in range(h):
+                        ro = off + (h - 1 - y) * stride
+                        for x in range(w):
+                            b, g, r = data[ro + 3 * x : ro + 3 * x + 3]
+                            sums[0] += r
+                            sums[1] += g
+                            sums[2] += b
+                    r0o = off + (h - 1) * stride
+                    b0, g0, r0 = data[r0o : r0o + 3]
+                    rows.append(
+                        {"media_id": m, "frame_index": idx,
+                         "sum_r": sums[0], "sum_g": sums[1], "sum_b": sums[2],
+                         "corner_rgb": (r0 << 16) | (g0 << 8) | b0}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "sum_r", "sum_g",
+                         "sum_b", "corner_rgb"],
+            )
+
+    return media.mapInPandas(_iter, schema=AVI_FRAMES_SCHEMA)

@@ -8319,6 +8319,51 @@ def q_avi_decode_meta(spark, sf):
     return decode_avi(avi_from_docs(docs))
 
 
+@register(
+    "avi_frame_samples",
+    """
+WITH base AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         2 + doc_id % 4 AS h,
+         2 + doc_id % 5 AS nf,
+         CAST('0x' || substr(md5('avi-' || doc_id), 1, 8) AS BIGINT) AS seed
+  FROM documents),
+fr AS (SELECT doc_id, w, h, seed, unnest(range(nf)) AS f FROM base)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_index,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w) + 193 * f) % 256))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w) + 193 * f + 57) % 256))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(w * h),
+            i -> (seed + 97 * (i % w) + 131 * (i // w) + 193 * f + 114) % 256))
+            AS BIGINT) AS sum_b,
+       CAST(((seed + 193 * f) % 256) * 65536
+            + ((seed + 193 * f + 57) % 256) * 256
+            + (seed + 193 * f + 114) % 256 AS BIGINT) AS corner_rgb
+FROM fr WHERE f % 2 = 0
+""",
+)
+def q_avi_frame_samples(spark, sf):
+    """REAL frame sampling on real video (multimodal.avi_frame_sample)
+    — upgrades the frame-sampling contract from the _fake_decode stub
+    to genuine containers: every 2nd frame of each document's AVI is
+    decoded to channel sums + corner pixel, and the SKIPPED frames'
+    pixels are never read (the RIFF size fields let the walker hop
+    chunk-to-chunk), so sampling 1-in-N costs 1/N of the pixel work —
+    what makes frame extraction affordable on petabyte video.  The
+    oracle replays the pixel rule per sampled frame index; a sampler
+    that miscounts frame boundaries or samples the wrong indices
+    diverges on corner_rgb (the 193·f term separates frames)."""
+    from .operators.multimodal import avi_frame_sample, avi_from_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return avi_frame_sample(avi_from_docs(docs), every_n=2)
+
+
 def _coreness_oracle() -> str:
     from .operators.webgraph import coreness_sql
 

@@ -561,3 +561,58 @@ class TestAVICodec:
             "data", F.expr("substring(data, 1, 40)"))
         with pytest.raises(Exception):
             decode_avi(broken).collect()
+
+
+class TestAVIFrameSample:
+    def test_sampled_frames_exact_and_skipped_bytes_irrelevant(self, spark):
+        """Every 2nd frame comes back with rule-exact sums/corner, and
+        corrupting a SKIPPED (odd) frame's pixels changes nothing — the
+        sampler's output is a function of the sampled byte ranges only."""
+        from python_fastly_log_query_spark.operators.multimodal import (
+            _avi_px,
+            avi_frame_sample,
+            avi_from_docs,
+        )
+        import hashlib
+        import struct
+
+        docs = spark.createDataFrame([(3,)], "doc_id long")  # nf=5, w=7, h=5
+        media = avi_from_docs(docs)
+        base = sorted(
+            (r["frame_index"], r["sum_r"], r["sum_g"], r["sum_b"], r["corner_rgb"])
+            for r in avi_frame_sample(media, every_n=2).collect()
+        )
+        w, h, nf = 7, 5, 5
+        seed = int(hashlib.md5(b"avi-3").hexdigest()[:8], 16)
+        want = []
+        for f in range(0, nf, 2):
+            sums = [
+                sum(_avi_px(seed, f, x, y, c) for x in range(w) for y in range(h))
+                for c in range(3)
+            ]
+            corner = (
+                (_avi_px(seed, f, 0, 0, 0) << 16)
+                | (_avi_px(seed, f, 0, 0, 1) << 8)
+                | _avi_px(seed, f, 0, 0, 2)
+            )
+            want.append((f, sums[0], sums[1], sums[2], corner))
+        assert base == want
+
+        # corrupt frame 1 (odd => skipped) in the raw payload
+        data = bytes(media.collect()[0]["data"])
+        movi = data.index(b"movi")
+        first = data.index(b"00db", movi)
+        stride = (3 * w + 3) // 4 * 4
+        step = 8 + h * stride
+        blob = bytearray(data)
+        for i in range(first + step + 8, first + 2 * step):
+            blob[i] ^= 0xFF
+        corrupted = spark.createDataFrame(
+            [(3, "video", bytes(blob), {})],
+            "media_id long, kind string, data binary, meta map<string,string>",
+        )
+        got = sorted(
+            (r["frame_index"], r["sum_r"], r["sum_g"], r["sum_b"], r["corner_rgb"])
+            for r in avi_frame_sample(corrupted, every_n=2).collect()
+        )
+        assert got == want
