@@ -888,6 +888,11 @@ DECADES_QUERIES = (
     "embedding_ivf_pq_rerank_topk", # ANN: cell-pruned ADC + exact re-rank
     "training_corpus_stats",        # composed dedup->lang->quality pipeline
     "url_canonical_dedup",          # URL canonicalization + dedup
+    # r5 near-dup finishers: both carry an ABSOLUTE df_cap posting budget
+    # (candidates <= distinct_terms * cap^2, linear in vocabulary) — the
+    # second decade witnesses the self-limit with deterministic pair counts
+    "tfidf_overlap_pairs",
+    "containment_neardup_pairs",
 )
 
 # Named explanations for entries EXPECTED to exceed the per-decade bound
@@ -928,6 +933,22 @@ DECADES_EXPLAIN = {
         "fingerprint pipeline, pairs 86 -> 792 (the planted duplicates), "
         "similarity aligned with shingle Jaccard."
     ),
+    "tfidf_overlap_pairs": (
+        "df_cap=50 is an ABSOLUTE posting budget: on this bounded-"
+        "vocabulary corpus the rare-bigram index SELF-LIMITS as N grows "
+        "(terms cross the cap and drop out), so pair counts FALL with "
+        "scale rather than grow — the deterministic pair-count column is "
+        "the witness.  Compute stays one scan + one capped equi-join; "
+        "any wall growth past ~12x is the scan term plus host drift."
+    ),
+    "containment_neardup_pairs": (
+        "same absolute-budget geometry as tfidf_overlap_pairs (df_cap=50 "
+        "over 4-gram shingles): candidates <= distinct_shingles * cap^2, "
+        "linear in vocabulary, and on a bounded-vocab corpus the index "
+        "self-limits (pair counts in the table).  The registered query "
+        "includes the planted-excerpt augmentation, whose pair count "
+        "grows exactly linearly (one snippet per 20 docs)."
+    ),
     "simhash_w64_ngram3": (
         "compute is O(N) (one md5 per shingle, fixed 64-bit vote loop) "
         "and OUTPUT is linear — see the deterministic pair counts table: "
@@ -950,6 +971,8 @@ DECADES_PAIR_COUNTS = (
     "editdist_neardup_auto",
     "simhash_w64_unigram",
     "simhash_w64_ngram3",
+    "tfidf_overlap_pairs",
+    "containment_neardup_pairs",
 )
 
 

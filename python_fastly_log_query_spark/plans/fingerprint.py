@@ -98,6 +98,8 @@ FINGERPRINT_QUERIES = (
     "host_triangle_stats",        # oriented wedge equi-joins: no BNLJ/cartesian (r5)
     "editdist_neardup_auto",      # decade-dispatched block equi-join: no cross join (r5)
     "hybrid_rrf_topk",            # fixed-k fusion: corpus work inside TakeOrdered sources (r5)
+    "containment_neardup_pairs",  # capped inverted-index equi-join: no cross product (r5)
+    "host_coreness",              # h-index fixpoint: per-round join + distinct-est window (r5)
 )
 
 
