@@ -2101,3 +2101,99 @@ FROM cpairs p JOIN csizes s ON s.doc_id = p.doc_a
 WHERE s.evidence_size >= {min_evidence}
   AND p.shared_shingles * 1000 // s.evidence_size >= {min_containment_k}
 """
+
+
+# ------------------------------------------------------ blocklist filter
+
+#: stand-in for the C4 "bad words" list (the released list is ~400
+#: entries; the operator's shape is identical at that size — the list
+#: rides into the codegen'd expression as a literal array, never a join)
+BADWORD_LIST: tuple[str, ...] = ("slow", "big", "dup")
+
+
+def badword_yield(
+    docs: DataFrame,
+    badwords: tuple[str, ...] = BADWORD_LIST,
+    max_bad_ppm: int = 80_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style token-blocklist filter with a per-source yield report
+    (Raffel et al. 2020 drop any page containing a listed word; the
+    ppm-threshold form here is the softer production variant that
+    tolerates incidental single hits on long pages).  A document is
+    flagged when blocklisted tokens exceed ``max_bad_ppm`` parts per
+    million of its whitespace tokens — a RATIO test, so verdicts are
+    length-stable: the same page flags identically whether the corpus
+    is 1 GB or 100 TB.
+
+    Returns per source: ``(source, docs_total, docs_flagged, bad_tokens,
+    kept_ppm)`` — the curation dashboard row that says what the filter
+    costs per upstream feed.  All integers.
+
+    Plan / 100 TB shape: token verdicts are ``size(filter(split(...)))``
+    against a literal array — map-only, zero Python, whole-stage
+    codegen; the rollup is one source-keyed groupBy with map-side
+    partials (sources are a dimension, so the shuffle is dim-sized).
+    One corpus scan total."""
+    words = F.split(F.col(text_col), " ")
+    lit_list = F.array(*[F.lit(w) for w in badwords])
+    n_tokens = F.size(words).cast("long")
+    n_bad = F.size(
+        F.filter(words, lambda t: F.array_contains(lit_list, t))
+    ).cast("long")
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+    ).withColumn(
+        "flagged",
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (F.col("n_bad") * F.lit(1_000_000)
+               > F.lit(max_bad_ppm) * F.col("n_tokens")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum("flagged").cast("long").alias("docs_flagged"),
+            F.sum("n_bad").cast("long").alias("bad_tokens"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("(docs_total - docs_flagged) * 1000000L div docs_total"),
+        )
+    )
+
+
+def badword_yield_sql(
+    badwords: tuple[str, ...] = BADWORD_LIST,
+    max_bad_ppm: int = 80_000,
+    docs_cte: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`badword_yield` — same literal list,
+    same strict ppm inequality, same integer arithmetic."""
+    lst = ", ".join(f"'{w}'" for w in badwords)
+    return f"""
+WITH bw AS (SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains([{lst}], t)))
+                        AS BIGINT) AS n_bad
+            FROM {docs_cte}),
+bv AS (SELECT source, n_tokens, n_bad,
+              CASE WHEN n_tokens > 0
+                    AND n_bad * 1000000 > {max_bad_ppm} * n_tokens
+                   THEN 1 ELSE 0 END AS flagged
+       FROM bw)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs_total,
+       CAST(sum(flagged) AS BIGINT) AS docs_flagged,
+       CAST(sum(n_bad) AS BIGINT) AS bad_tokens,
+       CAST((count(*) - sum(flagged)) * 1000000 // count(*) AS BIGINT)
+         AS kept_ppm
+FROM bv GROUP BY source
+"""

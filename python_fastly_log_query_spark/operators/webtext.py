@@ -808,3 +808,92 @@ def crawl_waves(
         .withColumn("wave", F.expr(f"CAST((_rn - 1) div {per_wave} AS BIGINT)"))
         .drop("_rn")
     )
+
+
+# ------------------------------------------------------ encoding repair
+
+#: (re2/java pattern, fixed codepoint) chain — the high-frequency
+#: mojibake sequences produced when UTF-8 bytes are re-decoded as
+#: Latin-1/CP1252 (the ftfy fix-encoding core, reduced to its
+#: deterministic rule-table form).  A 2-byte UTF-8 letter ``C3 xx``
+#: mis-decoded shows as ``Ã`` + one Latin-1 char; a 3-byte punctuation
+#: mark ``E2 80 xx`` shows as ``â€`` + one CP1252 char.  Patterns are
+#: pure-ASCII ``\x{hhhh}`` escapes (the shared Java/RE2 spelling used
+#: by NORMALIZE_RULES); replacements are single codepoints rendered
+#: engine-appropriately by each twin.
+MOJIBAKE_RULES: list[tuple[str, int]] = [
+    # 3-byte first: their tails contain no 'Ã', so order vs the 2-byte
+    # rules is immaterial, but a fixed order keeps both engines aligned.
+    ("\\x{00e2}\\x{20ac}\\x{2122}", 0x2019),  # a-circ + euro + TM   -> RIGHT SINGLE QUOTE
+    ("\\x{00e2}\\x{20ac}\\x{0153}", 0x201C),  # a-circ + euro + oe   -> LEFT DOUBLE QUOTE
+    ("\\x{00c3}\\x{00a9}", 0x00E9),           # A-tilde + copyright  -> e-acute
+    ("\\x{00c3}\\x{00b1}", 0x00F1),           # A-tilde + plus-minus -> n-tilde
+    ("\\x{00c3}\\x{00bc}", 0x00FC),           # A-tilde + 1/4        -> u-umlaut
+]
+
+#: U+FFFD — the transcoder's "byte salad" marker; unfixable, stripped.
+REPLACEMENT_CHAR_RE = "\\x{fffd}"
+
+
+def mojibake_repair(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-quality audit + repair over web text (the ftfy pass a
+    crawl pipeline runs before any tokenization; reference analog: the
+    tolerant field probes of ``/root/reference/src/parse/log_parser.py``,
+    promoted to a corpus-wide byte-hygiene stage).  Counts and fixes
+    the deterministic mojibake table (``MOJIBAKE_RULES``), counts and
+    strips U+FFFD replacement characters, and returns
+    ``(doc_id, n_fixed, n_unfixable, clean_md5, clean_chars)`` with the
+    repaired text pinned down to its md5.
+
+    Plan / 100 TB shape: a fixed chain of JVM ``regexp_count`` /
+    ``regexp_replace`` Column expressions — map-only, zero shuffle,
+    whole-stage-codegen'd; one scan at any corpus size, exactly like
+    :func:`normalize_text`."""
+    t = F.col(text_col)
+    n_fixed = F.lit(0).cast("long")
+    for pat, _cp in MOJIBAKE_RULES:
+        n_fixed = n_fixed + F.regexp_count(t, F.lit(pat)).cast("long")
+    clean = t
+    for pat, cp in MOJIBAKE_RULES:
+        clean = F.regexp_replace(clean, pat, chr(cp))
+    n_unfix = F.regexp_count(clean, F.lit(REPLACEMENT_CHAR_RE)).cast("long")
+    clean = F.regexp_replace(clean, REPLACEMENT_CHAR_RE, "")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_fixed.alias("n_fixed"),
+        n_unfix.alias("n_unfixable"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    )
+
+
+def mojibake_repair_sql(text_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`mojibake_repair` — same rule chain; RE2
+    patterns reach the engine ASCII-clean, replacement codepoints are
+    rendered with ``chr()`` so the SQL text stays ASCII too."""
+    def esc(p: str) -> str:
+        return p.replace("\\", "\\\\")
+
+    counts = " + ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, E'{esc(p)}')) AS BIGINT)"
+        for p, _cp in MOJIBAKE_RULES
+    )
+    clean = text_expr
+    for p, cp in MOJIBAKE_RULES:
+        clean = f"regexp_replace({clean}, E'{esc(p)}', chr({cp}), 'g')"
+    n_unfix = (
+        f"CAST(len(regexp_extract_all({clean}, "
+        f"E'{esc(REPLACEMENT_CHAR_RE)}')) AS BIGINT)"
+    )
+    stripped = (
+        f"regexp_replace({clean}, E'{esc(REPLACEMENT_CHAR_RE)}', '', 'g')"
+    )
+    return (
+        f"SELECT {id_expr} AS doc_id, "
+        f"CAST({counts} AS BIGINT) AS n_fixed, "
+        f"{n_unfix} AS n_unfixable, "
+        f"md5({stripped}) AS clean_md5, "
+        f"CAST(len({stripped}) AS BIGINT) AS clean_chars"
+    )

@@ -8390,6 +8390,78 @@ def q_host_coreness(spark, sf):
     return coreness(extract_outlinks(_wg_pages_spark(docs)), rounds=8)
 
 
+def _encoding_oracle() -> str:
+    from .operators.webtext import mojibake_repair_sql
+
+    # mojibake synthesized deterministically from doc_id (chr() keeps the
+    # SQL text ASCII): every doc a 2-byte e-acute mojibake, every 3rd a
+    # 3-byte curly-quote, every 5th a U+FFFD, every 7th an n-tilde
+    return f"""
+WITH mj AS (SELECT doc_id,
+       text || ' caf' || chr(195) || chr(169)
+            || CASE WHEN doc_id % 3 = 0
+                    THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN ' x' || chr(65533) || 'y' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' se' || chr(195) || chr(177) || 'or' ELSE '' END
+         AS text
+  FROM documents)
+{mojibake_repair_sql('text', 'doc_id')} FROM mj
+"""
+
+
+@register("encoding_repair_stats", _encoding_oracle())
+def q_encoding_repair_stats(spark, sf):
+    """Encoding-quality audit + repair (webtext.mojibake_repair): the
+    ftfy fix-encoding pass as a rule table — UTF-8-as-Latin-1/CP1252
+    mojibake sequences counted and fixed, U+FFFD counted and stripped,
+    oracled down to the repaired text's md5.  The mojibake itself is
+    synthesized deterministically from doc_id (every doc gets a 2-byte
+    sequence, every 3rd a 3-byte curly quote, every 5th a replacement
+    char, every 7th a second 2-byte rule) so all four rule classes are
+    provably exercised and both engines repair identical bytes.
+    Map-only: one scan, zero shuffle, whole-stage-codegen'd — the
+    embarrassingly-parallel shape that costs one pass at 10^12 docs."""
+    from .operators.webtext import mojibake_repair
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    moji = F.concat(
+        F.col("text"),
+        F.lit(" caf\u00c3\u00a9"),
+        F.when(d % 3 == 0, F.lit(" don\u00e2\u20ac\u2122t")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 5 == 0, F.lit(" x\ufffdy")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" se\u00c3\u00b1or")).otherwise(F.lit("")),
+    )
+    return mojibake_repair(docs.withColumn("text", moji))
+
+
+def _badword_oracle() -> str:
+    from .operators.corpus import badword_yield_sql
+
+    return badword_yield_sql()
+
+
+@register("badword_yield_by_source", _badword_oracle())
+def q_badword_yield_by_source(spark, sf):
+    """C4-style token-blocklist filter with a per-source yield report
+    (corpus.badword_yield): pages whose blocklisted-token density
+    exceeds 80,000 ppm are flagged, and the per-source dashboard row
+    (docs_total, docs_flagged, bad_tokens, kept_ppm) says what the
+    filter costs each upstream feed.  Ratio test, so verdicts are
+    corpus-size-stable.  Plan: literal-array membership inside
+    size(filter(...)) — map-only token verdicts, one dim-sized groupBy;
+    one corpus scan at any scale."""
+    from .operators.corpus import badword_yield
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return badword_yield(docs)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -1,0 +1,109 @@
+"""Encoding repair (ftfy-style mojibake rule table) and the C4
+token-blocklist yield filter.
+
+The registered queries (`encoding_repair_stats`,
+`badword_yield_by_source`) are value-oracled against DuckDB by the full
+parity sweep; these tests pin the semantics the sweep cannot see —
+byte-exact repair of hand-crafted mojibake, U+FFFD stripping, the
+strict ppm threshold boundary, and the map-only plan shape.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from python_fastly_log_query_spark.operators.corpus import badword_yield
+from python_fastly_log_query_spark.operators.webtext import mojibake_repair
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestMojibakeRepair:
+    def test_rule_table_repairs_to_exact_bytes(self, spark):
+        # caf<C3><A9> don<E2><20AC><2122>t se<C3><B1>or — all three rule
+        # classes present, plus one U+FFFD; repaired text is known exactly
+        broken = (
+            "cafÃ© donâ€™t"
+            " seÃ±or x�y"
+        )
+        fixed = "café don’t señor xy"
+        out = mojibake_repair(_docs(spark, [(1, broken)])).collect()[0]
+        assert out["n_fixed"] == 3
+        assert out["n_unfixable"] == 1
+        assert out["clean_chars"] == len(fixed)
+        assert out["clean_md5"] == hashlib.md5(fixed.encode("utf-8")).hexdigest()
+
+    def test_clean_text_passes_through(self, spark):
+        clean = "already clean ascii text"
+        out = mojibake_repair(_docs(spark, [(1, clean)])).collect()[0]
+        assert out["n_fixed"] == 0
+        assert out["n_unfixable"] == 0
+        assert out["clean_md5"] == hashlib.md5(clean.encode("utf-8")).hexdigest()
+
+    def test_repeated_sequences_all_counted(self, spark):
+        broken = "Ã©" * 4 + "��"
+        out = mojibake_repair(_docs(spark, [(1, broken)])).collect()[0]
+        assert out["n_fixed"] == 4
+        assert out["n_unfixable"] == 2
+        assert out["clean_chars"] == 4  # four e-acute survive, FFFD gone
+
+    def test_real_eacute_untouched(self, spark):
+        # a CORRECTLY-encoded e-acute must not be "repaired" — the rules
+        # match the two-char mojibake sequence, never the true char
+        good = "café"
+        out = mojibake_repair(_docs(spark, [(1, good)])).collect()[0]
+        assert out["n_fixed"] == 0
+        assert out["clean_md5"] == hashlib.md5(good.encode("utf-8")).hexdigest()
+
+    def test_map_only_plan(self, spark):
+        plan = mojibake_repair(
+            _docs(spark, [(1, "x")])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestBadwordYield:
+    def _one(self, spark, text, max_bad_ppm=80_000):
+        df = spark.createDataFrame(
+            [(text, "s")], "text string, source string"
+        )
+        return badword_yield(df, max_bad_ppm=max_bad_ppm).collect()[0]
+
+    def test_flagged_above_threshold(self, spark):
+        # 2 bad of 10 tokens = 200,000 ppm > 80,000
+        r = self._one(spark, "slow big a a a a a a a a")
+        assert (r["docs_flagged"], r["bad_tokens"]) == (1, 2)
+        assert r["kept_ppm"] == 0
+
+    def test_exact_threshold_not_flagged(self, spark):
+        # 2 bad of 25 tokens = exactly 80,000 ppm — strict > keeps it
+        r = self._one(spark, " ".join(["slow", "big"] + ["a"] * 23))
+        assert r["docs_flagged"] == 0
+        assert r["kept_ppm"] == 1_000_000
+
+    def test_clean_doc_kept(self, spark):
+        r = self._one(spark, "the fast table scan")
+        assert (r["docs_flagged"], r["bad_tokens"]) == (0, 0)
+
+    def test_per_source_rollup(self, spark):
+        rows = [
+            ("slow big slow big", "s0"),  # flagged (4/4 bad)
+            ("a b c d", "s0"),
+            ("a b c d", "s1"),
+        ]
+        df = spark.createDataFrame(rows, "text string, source string")
+        out = {r["source"]: r for r in badword_yield(df).collect()}
+        assert out["s0"]["docs_total"] == 2
+        assert out["s0"]["docs_flagged"] == 1
+        assert out["s0"]["kept_ppm"] == 500_000
+        assert out["s1"]["docs_flagged"] == 0
+
+    def test_single_scan_no_join(self, spark):
+        df = spark.createDataFrame(
+            [("slow a", "s")], "text string, source string"
+        )
+        plan = badword_yield(df)._jdf.queryExecution().executedPlan().toString()
+        # the blocklist rides as a literal — no join operator anywhere
+        assert "Join" not in plan
