@@ -207,6 +207,8 @@ STANDALONE_QUERIES = [
     "host_coreness",
     "avi_decode_meta",
     "avi_frame_samples",
+    "encoding_repair_stats",
+    "badword_yield_by_source",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -319,6 +321,10 @@ SF1_REUSE = [
     # AVI encode+decode is mapInPandas both ways — per-doc constant work
     "avi_decode_meta",
     "avi_frame_samples",
+    # both map-only single-scan passes (regexp chain / literal-array
+    # membership) — the strictest linear shapes in the corpus family
+    "encoding_repair_stats",
+    "badword_yield_by_source",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

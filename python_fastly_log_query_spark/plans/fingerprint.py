@@ -100,6 +100,8 @@ FINGERPRINT_QUERIES = (
     "hybrid_rrf_topk",            # fixed-k fusion: corpus work inside TakeOrdered sources (r5)
     "containment_neardup_pairs",  # capped inverted-index equi-join: no cross product (r5)
     "host_coreness",              # h-index fixpoint: per-round join + distinct-est window (r5)
+    "encoding_repair_stats",      # ftfy rule chain: map-only, ZERO exchanges (r5)
+    "badword_yield_by_source",    # literal-array blocklist: no join, 1 dim rollup shuffle (r5)
 )
 
 
