@@ -209,6 +209,7 @@ STANDALONE_QUERIES = [
     "avi_frame_samples",
     "encoding_repair_stats",
     "badword_yield_by_source",
+    "training_shuffle_shards",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -325,6 +326,8 @@ SF1_REUSE = [
     # membership) — the strictest linear shapes in the corpus family
     "encoding_repair_stats",
     "badword_yield_by_source",
+    # one shard-key shuffle; within-shard order inside the aggregate
+    "training_shuffle_shards",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

@@ -176,3 +176,84 @@ def capped_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def training_shuffle(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic corpus shuffle — the reproducible global
+    training order every LLM data loader needs (a plain ``ORDER BY
+    rand()`` is nondeterministic across task retries and unrepeatable
+    across runs; the fix, as with all of this module, is ordering by a
+    salted hash of the stable id).  Each document gets a shuffle key
+    ``md5(seed || ':' || doc_id)``; its shard is the key's first 32
+    bits mod ``n_shards``; within a shard, documents are consumed in
+    shuffle-key order.  Changing ``seed`` re-permutes everything
+    (epoch-to-epoch decorrelation); re-running with the same seed
+    reproduces the exact order, retry-safe and cluster-size-invariant.
+
+    Returns the per-shard audit digest ``(shard, n_docs, order_md5,
+    first_doc, last_doc)`` where ``order_md5`` hashes the
+    comma-joined doc ids IN SHUFFLE ORDER — the value a downstream
+    loader can recompute to prove it read the same permutation.
+
+    Plan / 100 TB shape: ONE shuffle on the shard key; the within-shard
+    order materializes inside the aggregate (``array_sort`` over the
+    collected (key, id) structs), never as a global Sort — the
+    fingerprint pins shuffle_exchanges=1, sorts=0.  A production write
+    is ``repartition(shard).sortWithinPartitions(key)`` with shard
+    count grown so docs-per-shard stays file-sized (the shard_plan
+    sizing rule); this digest query is its auditable witness at any
+    scale, with per-shard state bounded by that same sizing choice."""
+    key = F.md5(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    tagged = docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("skey"), shard.alias("shard")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("skey"), F.col("doc_id")))
+    )
+    return tagged.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(ordered, lambda s: s.doc_id.cast("string")),
+                    ",",
+                ),
+                "UTF-8",
+            )
+        ).alias("order_md5"),
+        F.min_by("doc_id", F.col("skey")).cast("long").alias("first_doc"),
+        F.max_by("doc_id", F.col("skey")).cast("long").alias("last_doc"),
+    )
+
+
+def training_shuffle_sql(
+    seed: str = "epoch0", n_shards: int = 16, docs_cte: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`training_shuffle` — same key rule, same
+    32-bit shard hash, ``string_agg`` ordered by the same key."""
+    return f"""
+WITH sh AS (SELECT doc_id,
+                   md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS skey
+            FROM {docs_cte}),
+tg AS (SELECT doc_id, skey,
+              CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT)
+                   % {n_shards} AS INT) AS shard
+       FROM sh)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey, doc_id))
+         AS order_md5,
+       CAST(min_by(doc_id, skey) AS BIGINT) AS first_doc,
+       CAST(max_by(doc_id, skey) AS BIGINT) AS last_doc
+FROM tg GROUP BY shard
+"""

@@ -8462,6 +8462,29 @@ def q_badword_yield_by_source(spark, sf):
     return badword_yield(docs)
 
 
+def _training_shuffle_oracle() -> str:
+    from .operators.sampling import training_shuffle_sql
+
+    return training_shuffle_sql()
+
+
+@register("training_shuffle_shards", _training_shuffle_oracle())
+def q_training_shuffle_shards(spark, sf):
+    """Seeded deterministic corpus shuffle (sampling.training_shuffle):
+    the reproducible global training order an LLM loader consumes —
+    shuffle key md5(seed:doc_id), shard by the key's first 32 bits,
+    within-shard order by key; the per-shard order_md5 digest is what a
+    downstream loader recomputes to prove it read the same permutation.
+    Retry-safe and cluster-size-invariant by construction (pure
+    function of the id), epoch-decorrelated by reseeding.  Plan: ONE
+    shuffle on the shard key, within-shard order inside the aggregate —
+    no global sort at any corpus size (fingerprinted: sorts=0)."""
+    from .operators.sampling import training_shuffle
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return training_shuffle(docs)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

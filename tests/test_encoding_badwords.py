@@ -107,3 +107,51 @@ class TestBadwordYield:
         plan = badword_yield(df)._jdf.queryExecution().executedPlan().toString()
         # the blocklist rides as a literal — no join operator anywhere
         assert "Join" not in plan
+
+
+class TestTrainingShuffle:
+    """Seeded deterministic shuffle: the parity sweep pins the digest
+    values; these pin the CONTRACT — reproducibility, seed sensitivity,
+    partitioning invariance, and the no-global-sort plan."""
+
+    def _docs(self, spark, n=64, parts=1):
+        return spark.range(n).select(F.col("id").alias("doc_id")).repartition(parts)
+
+    def test_same_seed_reproduces_bit_exact(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import training_shuffle
+
+        a = sorted(map(tuple, training_shuffle(self._docs(spark)).collect()))
+        b = sorted(map(tuple, training_shuffle(self._docs(spark)).collect()))
+        assert a == b
+
+    def test_partitioning_invariant(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import training_shuffle
+
+        a = sorted(map(tuple, training_shuffle(self._docs(spark, parts=1)).collect()))
+        b = sorted(map(tuple, training_shuffle(self._docs(spark, parts=7)).collect()))
+        assert a == b
+
+    def test_seed_repermutes(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import training_shuffle
+
+        e0 = {r["shard"]: r["order_md5"]
+              for r in training_shuffle(self._docs(spark), seed="epoch0").collect()}
+        e1 = {r["shard"]: r["order_md5"]
+              for r in training_shuffle(self._docs(spark), seed="epoch1").collect()}
+        # a reseed must change the order in (essentially) every shard
+        assert sum(e0.get(s) != e1.get(s) for s in e0) >= len(e0) - 1
+
+    def test_every_doc_lands_exactly_once(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import training_shuffle
+
+        out = training_shuffle(self._docs(spark, n=100), n_shards=8).collect()
+        assert sum(r["n_docs"] for r in out) == 100
+        assert len(out) == 8  # 100 docs over 8 shards: all occupied
+
+    def test_one_shuffle_no_sort(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import training_shuffle
+        from python_fastly_log_query_spark.plans.fingerprint import plan_fingerprint
+
+        fp = plan_fingerprint(training_shuffle(self._docs(spark)))
+        assert fp["shuffle_exchanges"] == 1
+        assert fp["sorts"] == 0
