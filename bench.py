@@ -210,6 +210,7 @@ STANDALONE_QUERIES = [
     "encoding_repair_stats",
     "badword_yield_by_source",
     "training_shuffle_shards",
+    "phrase_search_hits",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -328,6 +329,8 @@ SF1_REUSE = [
     "badword_yield_by_source",
     # one shard-key shuffle; within-shard order inside the aggregate
     "training_shuffle_shards",
+    # posting-list rows (query-term frequency), not corpus rows, shuffle
+    "phrase_search_hits",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

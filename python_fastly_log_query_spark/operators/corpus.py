@@ -2197,3 +2197,95 @@ SELECT source,
          AS kept_ppm
 FROM bv GROUP BY source
 """
+
+
+# --------------------------------------------------------- phrase search
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval via positional posting-list adjacency —
+    the third retrieval geometry beside BM25 (bag-of-words ranking) and
+    embedding ANN (semantic): find documents containing the EXACT token
+    sequence ``phrase``, with match counts and the first match offset.
+    BM25 cannot distinguish "new york" from "york new"; this can — the
+    phrase-query shape behind quoted search, citation mining, and
+    targeted contamination audits.
+
+    Offset-normalized intersection (the classical positional-index
+    algorithm): each occurrence of ``phrase[i]`` at token position
+    ``pos`` votes for candidate start ``pos - i``; a start supported by
+    ALL k phrase offsets is a match.  Repeated phrase tokens are
+    handled exactly — one position can support several offsets, and
+    the vote count is over DISTINCT offsets.
+
+    Returns ``(doc_id, n_matches, first_pos)`` for docs with >= 1
+    match (overlapping matches each count: "a a a" contains two
+    "a a").
+
+    Plan / 100 TB shape: one corpus scan (posexplode) with the tiny
+    phrase-term set filtered IMMEDIATELY after the generator — only
+    posting-list rows (corpus frequency of the query terms, not corpus
+    size) reach the first shuffle; then two partial-agg groupBys
+    ((doc, start) votes, then doc rollup).  Never a self-join, never a
+    window.  In production the (term, doc, pos) frame is a durable
+    inverted index built once and range-partitioned by term; the query
+    path then touches only the k posting lists."""
+    k = len(phrase)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin(*set(phrase)))
+    # one row per (occurrence, supported offset)
+    votes = toks.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(i) for i in range(k)]),
+                lambda i: F.element_at(
+                    F.array(*[F.lit(w) for w in phrase]), i + 1
+                ) == F.col("term"),
+            )
+        ).alias("off"),
+    ).select(
+        "doc_id",
+        (F.col("pos") - F.col("off")).cast("long").alias("start"),
+        "off",
+    ).filter(F.col("start") >= 0).distinct()
+    starts = (
+        votes.groupBy("doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_off"))
+        .filter(F.col("n_off") == k)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_sql(
+    phrase: tuple[str, ...], docs_cte: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`phrase_search` — identical
+    offset-normalized intersection over the same whitespace positions
+    (0-based to match ``posexplode``)."""
+    k = len(phrase)
+    lst = ", ".join(f"'{w}'" for w in phrase)
+    return f"""
+WITH pl AS (SELECT doc_id, string_split(text, ' ') AS lt FROM {docs_cte}),
+pt AS (SELECT doc_id, i - 1 AS pos, lt[i] AS term
+       FROM (SELECT doc_id, lt, unnest(range(1, len(lt) + 1)) AS i FROM pl)
+       WHERE lt[i] IN ({lst})),
+pv AS (SELECT DISTINCT doc_id, pos - off AS start, off
+       FROM pt, (SELECT unnest(range({k})) AS off) o
+       WHERE [{lst}][off + 1] = term AND pos - off >= 0),
+ps AS (SELECT doc_id, start FROM pv
+       GROUP BY doc_id, start HAVING count(*) = {k})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM ps GROUP BY doc_id
+"""

@@ -103,6 +103,7 @@ FINGERPRINT_QUERIES = (
     "encoding_repair_stats",      # ftfy rule chain: map-only, ZERO exchanges (r5)
     "badword_yield_by_source",    # literal-array blocklist: no join, 1 dim rollup shuffle (r5)
     "training_shuffle_shards",    # seeded shuffle digest: 1 exchange, ZERO Sort nodes (r5)
+    "phrase_search_hits",         # positional adjacency: generator-filter, no self-join (r5)
 )
 
 

@@ -8485,6 +8485,78 @@ def q_training_shuffle_shards(spark, sf):
     return training_shuffle(docs)
 
 
+def _phrase_oracle() -> str:
+    from .operators.corpus import phrase_search_sql
+
+    # the same deterministic footers as the Spark side: every 4th doc a
+    # distinct-token phrase, every 6th an overlapping repeated-token run
+    aug = """
+aug AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                            THEN ' alpha beta gamma' ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0
+                            THEN ' echo echo echo echo' ELSE '' END AS text
+        FROM documents)"""
+    arms = []
+    for label, phrase in (
+        ("fast key", ("fast", "key")),
+        ("alpha beta gamma", ("alpha", "beta", "gamma")),
+        ("echo echo echo", ("echo", "echo", "echo")),
+    ):
+        inner = phrase_search_sql(phrase, docs_cte="aug")
+        arms.append(
+            f"SELECT '{label}' AS phrase, doc_id, n_matches, first_pos"
+            f" FROM ({inner})"
+        )
+    return f"WITH {aug.strip()}\n" + "\nUNION ALL\n".join(arms)
+
+
+@register("phrase_search_hits", _phrase_oracle())
+def q_phrase_search_hits(spark, sf):
+    """Exact-phrase retrieval (corpus.phrase_search): the positional
+    posting-list adjacency geometry beside BM25 (bag-of-words) and
+    embedding ANN (semantic) — offset-normalized intersection, where
+    each occurrence of phrase[i] at position p votes for start p-i and
+    a start supported by all k distinct offsets is a match.  Three
+    phrases in one result: a natural corpus bigram, a planted
+    3-token phrase (every 4th doc — guaranteed hits at ANY scale), and
+    a planted repeated-token phrase over an 'echo echo echo echo' run
+    (every 6th doc) whose two OVERLAPPING matches pin the
+    distinct-offset vote logic the easy implementations get wrong.
+    Plan: per phrase, one corpus scan filtered to query terms right
+    after the generator (posting-list rows, not corpus rows, reach the
+    shuffle) + two partial-agg groupBys; no self-join, no window."""
+    from .operators.corpus import phrase_search
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 4 == 0, F.lit(" alpha beta gamma")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit(" echo echo echo echo")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    parts = []
+    for label, phrase in (
+        ("fast key", ("fast", "key")),
+        ("alpha beta gamma", ("alpha", "beta", "gamma")),
+        ("echo echo echo", ("echo", "echo", "echo")),
+    ):
+        parts.append(
+            phrase_search(aug, phrase).select(
+                F.lit(label).alias("phrase"), "doc_id", "n_matches", "first_pos"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

@@ -155,3 +155,50 @@ class TestTrainingShuffle:
         fp = plan_fingerprint(training_shuffle(self._docs(spark)))
         assert fp["shuffle_exchanges"] == 1
         assert fp["sorts"] == 0
+
+
+class TestPhraseSearch:
+    """Positional phrase retrieval: the parity sweep pins digests; these
+    pin the adjacency algebra — order sensitivity, overlap counting,
+    repeated-token offsets, and adjacency (no gaps)."""
+
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_order_sensitive(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import phrase_search
+
+        docs = self._d(spark, [(1, "new york city"), (2, "york new city")])
+        out = phrase_search(docs, ("new", "york")).collect()
+        assert [(r["doc_id"], r["n_matches"], r["first_pos"]) for r in out] == [
+            (1, 1, 0)
+        ]
+
+    def test_adjacent_only_no_gaps(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import phrase_search
+
+        docs = self._d(spark, [(1, "new big york")])
+        assert phrase_search(docs, ("new", "york")).count() == 0
+
+    def test_overlapping_matches_counted(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import phrase_search
+
+        docs = self._d(spark, [(1, "a a a a")])
+        out = phrase_search(docs, ("a", "a")).collect()[0]
+        # "a a" occurs at starts 0,1,2 — overlapping matches all count
+        assert (out["n_matches"], out["first_pos"]) == (3, 0)
+
+    def test_repeated_token_phrase_exact(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import phrase_search
+
+        docs = self._d(spark, [(1, "x echo echo y echo echo echo z")])
+        out = phrase_search(docs, ("echo", "echo", "echo")).collect()[0]
+        # only the run of three at positions 4-6 matches, once
+        assert (out["n_matches"], out["first_pos"]) == (1, 4)
+
+    def test_multiple_occurrences_and_first_pos(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import phrase_search
+
+        docs = self._d(spark, [(7, "q w e r q w t q w")])
+        out = phrase_search(docs, ("q", "w")).collect()[0]
+        assert (out["doc_id"], out["n_matches"], out["first_pos"]) == (7, 3, 0)
