@@ -211,6 +211,7 @@ STANDALONE_QUERIES = [
     "badword_yield_by_source",
     "training_shuffle_shards",
     "phrase_search_hits",
+    "chunk_storage_stats",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -331,6 +332,8 @@ SF1_REUSE = [
     "training_shuffle_shards",
     # posting-list rows (query-term frequency), not corpus rows, shuffle
     "phrase_search_hits",
+    # doc-bounded window + two partial-agg groupBys, no joins
+    "chunk_storage_stats",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

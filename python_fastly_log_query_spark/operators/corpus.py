@@ -2289,3 +2289,143 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
        CAST(min(start) AS BIGINT) AS first_pos
 FROM ps GROUP BY doc_id
 """
+
+
+# ------------------------------------------------ content-defined chunks
+
+def content_chunks(
+    docs: DataFrame,
+    k: int = 2,
+    divisor: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC boundary rule over
+    word tokens): cut AFTER token ``i`` whenever the 32-bit hash of the
+    ``k``-token gram ending at ``i`` is ``0 mod divisor`` — so chunk
+    boundaries are a function of local CONTENT, not of position.  This
+    is the property fixed-window schemes lack: insert one token at the
+    front of a document and every fixed window shifts (zero matches),
+    while content-defined boundaries resynchronize within ~``divisor``
+    tokens and every later chunk hashes identically — the storage-dedup
+    primitive (CAS stores, backup systems, chunk-level corpus storage)
+    beside the similarity-oriented near-dup families.
+
+    Returns one row per chunk: ``(doc_id, chunk_idx, chunk_md5,
+    n_toks)`` with ``chunk_idx`` counting from 0 in token order and
+    ``chunk_md5`` hashing the space-joined chunk tokens.  Expected
+    chunk length is ~``divisor`` tokens (geometric); the first ``k-1``
+    positions never cut (no full gram yet), and the document end always
+    ends the last chunk.
+
+    Plan / 100 TB shape: positional grams as pure Column exprs (the
+    :func:`winnow_fingerprints` builder), ONE doc-bounded running-sum
+    window (frame ``[unbounded, -1]`` over the boundary flags — the
+    chunk index), then a (doc, chunk) groupBy whose rebuild aggregate
+    is the host-boilerplate array_sort pattern.  Window partitions are
+    document-sized, never corpus-skewed; the corpus shuffles twice
+    (window, chunk groupBy), both with partial aggregation."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    gram = F.when(
+        F.col("pos") >= k - 1,
+        F.array_join(F.slice("_toks", F.col("pos") - (k - 2), k), " "),
+    )
+    fp = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+    cut = F.when(gram.isNotNull() & (fp % divisor == 0), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = toks.select("doc_id", "pos", "tok", cut.alias("_cut"))
+    idx = F.coalesce(F.sum("_cut").over(w), F.lit(0)).cast("long")
+    chunks = flagged.withColumn("chunk_idx", idx)
+    return chunks.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("chunk_md5"),
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+    )
+
+
+def chunk_storage_stats(
+    docs: DataFrame, k: int = 2, divisor: int = 8, **kw
+) -> DataFrame:
+    """Corpus-level storage-dedup report over :func:`content_chunks`:
+    how much a chunk-level content-addressed store would save.  One
+    row: total/distinct chunk counts, total token mass, the saved mass
+    in ppm (instances beyond the first per distinct chunk), and mean
+    chunk length in millitokens — all integers.
+
+    The distinct-side token mass uses ``max(n_toks)`` per chunk_md5
+    (equal texts have equal token counts, so the max is THE value)."""
+    ch = content_chunks(docs, k=k, divisor=divisor, **kw)
+    per = ch.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.max("n_toks").alias("toks"),
+    )
+    return per.agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("copies") * F.col("toks")).cast("long").alias("total_tokens"),
+        F.sum((F.col("copies") - 1) * F.col("toks")).cast("long").alias("dup_tokens"),
+    ).select(
+        "n_chunks",
+        "distinct_chunks",
+        "total_tokens",
+        F.expr("dup_tokens * 1000000L div total_tokens").alias("saved_token_ppm"),
+        F.expr("total_tokens * 1000L div n_chunks").alias("avg_chunk_millitoks"),
+    )
+
+
+def chunk_storage_sql(
+    k: int = 2, divisor: int = 8, docs_cte: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`chunk_storage_stats` — same gram/boundary
+    rule, same running-sum chunk index, same integer report."""
+    return f"""
+WITH ct AS (SELECT doc_id, string_split(text, ' ') AS lt FROM {docs_cte}),
+cp AS (SELECT doc_id, lt, unnest(range(1, len(lt) + 1)) AS i FROM ct),
+cf AS (SELECT doc_id, i - 1 AS pos, lt[i] AS tok,
+              CASE WHEN i >= {k}
+                    AND CAST('0x' || substr(
+                          md5(array_to_string(lt[i - {k - 1}:i], ' ')),
+                          1, 8) AS BIGINT) % {divisor} = 0
+                   THEN 1 ELSE 0 END AS cut
+       FROM cp),
+cx AS (SELECT doc_id, pos, tok,
+              COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS chunk_idx
+       FROM cf),
+cc AS (SELECT doc_id, chunk_idx,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5,
+              CAST(count(*) AS BIGINT) AS n_toks
+       FROM cx GROUP BY doc_id, chunk_idx),
+cd AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS copies,
+              max(n_toks) AS toks
+       FROM cc GROUP BY chunk_md5)
+SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(copies * toks) AS BIGINT) AS total_tokens,
+       CAST(sum((copies - 1) * toks) * 1000000
+            // sum(copies * toks) AS BIGINT) AS saved_token_ppm,
+       CAST(sum(copies * toks) * 1000 // sum(copies) AS BIGINT)
+         AS avg_chunk_millitoks
+FROM cd
+"""

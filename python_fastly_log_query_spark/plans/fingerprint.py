@@ -104,6 +104,7 @@ FINGERPRINT_QUERIES = (
     "badword_yield_by_source",    # literal-array blocklist: no join, 1 dim rollup shuffle (r5)
     "training_shuffle_shards",    # seeded shuffle digest: 1 exchange, ZERO Sort nodes (r5)
     "phrase_search_hits",         # positional adjacency: generator-filter, no self-join (r5)
+    "chunk_storage_stats",        # content-defined chunks: doc-bounded window, no joins (r5)
 )
 
 

@@ -8557,6 +8557,68 @@ def q_phrase_search_hits(spark, sf):
     return out
 
 
+def _chunk_storage_oracle() -> str:
+    from .operators.corpus import chunk_storage_sql
+
+    # every 5th doc carries a one-token-UNIQUE prefix ('u<id>') followed
+    # by a SHARED 14-token payload: the unique token shifts alignment,
+    # so fixed windows see nothing while content-defined boundaries
+    # resynchronize and the payload chunks dedup — the property under
+    # test, replayed by the oracle element-exactly
+    inner = chunk_storage_sql(docs_cte="aug")
+    aug = """aug AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                            THEN ' u' || CAST(doc_id AS VARCHAR)
+                                 || ' quick copper kettle hums beside'
+                                 || ' the narrow harbor wall at dusk'
+                                 || ' every single tide'
+                            ELSE '' END AS text
+        FROM documents)"""
+    body = inner.strip()
+    assert body.startswith("WITH ")
+    return f"WITH {aug},\n{body[len('WITH '):]}"
+
+
+@register("chunk_storage_stats", _chunk_storage_oracle())
+def q_chunk_storage_stats(spark, sf):
+    """Content-defined chunking storage-dedup report
+    (corpus.content_chunks / chunk_storage_stats): the LBFS/FastCDC
+    boundary rule — cut where the k-gram hash is 0 mod divisor — makes
+    chunk boundaries a function of content, not position, so a
+    one-token insertion shifts NOTHING downstream (boundaries
+    resynchronize within ~divisor tokens).  The registered corpus
+    plants exactly that case: every 5th doc appends a unique one-token
+    prefix + a shared 14-token payload; fixed windows see no cross-doc
+    match, while the payload's chunks hash identically everywhere and
+    the saved_token_ppm report proves it.  The eighth dedup-family
+    angle: storage dedup (CAS stores), beside the seven
+    similarity-oriented families.  Plan: one doc-bounded running-sum
+    window + two partial-agg groupBys; no joins."""
+    from .operators.corpus import chunk_storage_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(
+                    F.lit(" u"),
+                    d.cast("string"),
+                    F.lit(
+                        " quick copper kettle hums beside"
+                        " the narrow harbor wall at dusk"
+                        " every single tide"
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return chunk_storage_stats(aug)
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

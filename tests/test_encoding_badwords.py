@@ -202,3 +202,72 @@ class TestPhraseSearch:
         docs = self._d(spark, [(7, "q w e r q w t q w")])
         out = phrase_search(docs, ("q", "w")).collect()[0]
         assert (out["doc_id"], out["n_matches"], out["first_pos"]) == (7, 3, 0)
+
+
+class TestContentChunks:
+    """Content-defined chunking: the parity sweep pins the corpus
+    report; these pin the chunking algebra — lossless reassembly,
+    boundary determinism, and the shift-robustness that is the whole
+    point of content-defined (vs fixed-window) boundaries."""
+
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_chunks_reassemble_losslessly(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import content_chunks
+
+        text = "the fast key order sort table scan merge part window small hash"
+        out = content_chunks(self._d(spark, [(1, text)])).collect()
+        assert sum(r["n_toks"] for r in out) == len(text.split(" "))
+        # chunk indices are dense from 0
+        assert sorted(r["chunk_idx"] for r in out) == list(range(len(out)))
+
+    def test_identical_docs_identical_chunks(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import content_chunks
+
+        text = "spark group query row data slow small filter customer line"
+        out = content_chunks(self._d(spark, [(1, text), (2, text)])).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_md5"], r["n_toks"])
+            )
+        assert sorted(by_doc[1]) == sorted(by_doc[2])
+
+    def test_shift_robust_payload_dedup(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import (
+            chunk_storage_stats,
+            content_chunks,
+        )
+
+        # same long payload behind DIFFERENT one-token prefixes: fixed
+        # windows would share nothing; content-defined chunks resync
+        payload = (
+            "quick copper kettle hums beside the narrow harbor wall "
+            "at dusk every single tide turns the lamplight green again"
+        )
+        docs = self._d(
+            spark, [(1, "aaa " + payload), (2, "bbbbb " + payload)]
+        )
+        ch = content_chunks(docs).collect()
+        md5s = {}
+        for r in ch:
+            md5s.setdefault(r["doc_id"], set()).add(r["chunk_md5"])
+        shared = md5s[1] & md5s[2]
+        assert shared, "shifted payload produced no shared chunks"
+        stats = chunk_storage_stats(docs).collect()[0]
+        assert stats["saved_token_ppm"] > 0
+
+    def test_no_join_two_shuffles(self, spark):
+        from python_fastly_log_query_spark.operators.corpus import (
+            chunk_storage_stats,
+        )
+        from python_fastly_log_query_spark.plans.fingerprint import (
+            plan_fingerprint,
+        )
+
+        fp = plan_fingerprint(
+            chunk_storage_stats(self._d(spark, [(1, "a b c")]))
+        )
+        assert fp["broadcast_joins"] + fp["sort_merge_joins"] == 0
+        assert fp["cartesian"] + fp["nested_loop_joins"] == 0
