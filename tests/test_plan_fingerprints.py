@@ -54,7 +54,7 @@ def test_fingerprints_match_committed_expectation(live):
         "physical plan changed for: "
         + json.dumps(diffs, indent=1)
         + "\nIf intentional, regenerate BENCH/plan_fingerprints.json "
-        "(fingerprint_queries at sf0.001 and sf0.1) in the same commit."
+        "(fingerprint_queries at sf0.001, sf0.01 and sf0.1) in the same commit."
     )
 
 
