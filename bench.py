@@ -212,6 +212,8 @@ STANDALONE_QUERIES = [
     "training_shuffle_shards",
     "phrase_search_hits",
     "chunk_storage_stats",
+    "weighted_sample_topk",
+    "table_stats_report",
 ]
 
 # sf1 sweep (VERDICT r3 item 2): the same registered queries re-measured
@@ -334,6 +336,9 @@ SF1_REUSE = [
     "phrase_search_hits",
     # doc-bounded window + two partial-agg groupBys, no joins
     "chunk_storage_stats",
+    # TakeOrderedAndProject (k rows to driver) / one wide aggregate pass
+    "weighted_sample_topk",
+    "table_stats_report",
 ]
 SF1_EXPLAIN = {
     "editdist_neardup_pairs": (

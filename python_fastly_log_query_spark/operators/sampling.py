@@ -257,3 +257,93 @@ SELECT shard,
        CAST(max_by(doc_id, skey) AS BIGINT) AS last_doc
 FROM tg GROUP BY shard
 """
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 25,
+    weight_col: str = "n_chars",
+    salt: str = "wsamp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006 exponential-jumps family, priority
+    form): each row draws a reproducible uniform from the salted hash
+    of its id and takes priority ``weight / u``; the global top-``k``
+    priorities are the sample.  Inclusion probability is proportional
+    to weight (the quality-weighted subsample every curation pipeline
+    wants), yet the draw is a pure function of the id — retry-safe,
+    rerun-identical, and adding documents never changes the priorities
+    of existing ones (only the cut line moves).
+
+    ``u`` is the 32-bit salted md5 (1..2^32, never 0); priority is ONE
+    IEEE double division of two exact integers — correctly rounded,
+    bit-identical on any engine — so the top-k boundary cannot flip
+    cross-engine; ties (identical weight AND hash) break by id.
+
+    Returns ``(rank, doc_id, weight, priority_ppb)`` with priority
+    scaled to integer parts-per-billion for the report.
+
+    Plan / 100 TB shape: map-only priority + global top-k =
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver,
+    no global sort) — the same shape as every other top-N here."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "-"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        + 1
+    )
+    w = F.col(weight_col).cast("double")
+    pri = w / u.cast("double")
+    ranked = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.desc("_pri"), F.asc("doc_id"))
+        .limit(k)
+    )
+    win = Window.orderBy(F.desc("_pri"), F.asc("doc_id"))
+    return ranked.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select(
+        "rank",
+        "doc_id",
+        "weight",
+        # explicit floor: Spark's double->long cast truncates while
+        # DuckDB's rounds — floor is the one rule both spell identically
+        F.floor(F.col("_pri") * F.lit(1_000_000_000.0)).cast("long").alias(
+            "priority_ppb"
+        ),
+    )
+
+
+def weighted_sample_sql(
+    k: int = 25,
+    weight_col: str = "n_chars",
+    salt: str = "wsamp",
+    docs_cte: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample` — same hash draw, same
+    single-division priority, same tie rule."""
+    return f"""
+WITH wdraw AS (SELECT doc_id,
+                      CAST({weight_col} AS BIGINT) AS weight,
+                      CAST({weight_col} AS DOUBLE) /
+                      CAST(CAST('0x' || substr(
+                             md5('{salt}-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) + 1 AS DOUBLE) AS pri
+               FROM {docs_cte}),
+wtop AS (SELECT doc_id, weight, pri
+         FROM wdraw ORDER BY pri DESC, doc_id ASC LIMIT {k})
+SELECT CAST(row_number() OVER (ORDER BY pri DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, weight,
+       CAST(floor(pri * 1000000000) AS BIGINT) AS priority_ppb
+FROM wtop
+"""

@@ -105,6 +105,8 @@ FINGERPRINT_QUERIES = (
     "training_shuffle_shards",    # seeded shuffle digest: 1 exchange, ZERO Sort nodes (r5)
     "phrase_search_hits",         # positional adjacency: generator-filter, no self-join (r5)
     "chunk_storage_stats",        # content-defined chunks: doc-bounded window, no joins (r5)
+    "weighted_sample_topk",       # priority sample: TakeOrderedAndProject, no global sort (r5)
+    "table_stats_report",         # ANALYZE pass: one wide aggregate, zero joins (r5)
 )
 
 

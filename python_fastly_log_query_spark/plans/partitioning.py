@@ -205,3 +205,66 @@ def missing_days(df, ts_col: str = "ts"):
         expected.join(present, "d", "left_anti")
         .select(F.date_format("d", "yyyy-MM-dd").alias("missing_day"))
     )
+
+
+# ------------------------------------------------------- table statistics
+
+def table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics — the numbers a cost-based
+    optimizer (and a human sizing shuffles) reads before planning:
+    row count, exact distinct count, null count, and min/max rendered
+    as strings (type-uniform output).  One row per column.
+
+    At fleet scale the exact ``count_distinct`` is the expensive term
+    (one shuffle per column); the sketch path is the existing HLL
+    contract query (``approx_distinct_ips_per_path``) — this operator
+    is the exact twin a small-table ANALYZE runs, and the per-column
+    aggregates all ride ONE pass over the scan (Spark compiles the
+    multi-agg into a single Aggregate over the scan; distincts expand
+    rather than rescan).
+
+    Plan: one wide aggregate (expand + partial aggs), no joins; output
+    is columns-count rows."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    for c in columns:
+        aggs += [
+            F.count_distinct(F.col(c)).cast("long").alias(f"_ndv_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_nulls_{c}"),
+            # min/max over the NATIVE type, rendered after — a string-
+            # typed min would order "10" < "9" and diverge from the SQL
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for c in columns:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_ndv_{c}").alias("ndv"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_min_{c}").alias("min_str"),
+                F.col(f"_max_{c}").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def table_stats_sql(columns: list[str], table: str = "events") -> str:
+    """DuckDB oracle for :func:`table_stats` — same exact aggregates,
+    same string rendering of min/max (CAST AS VARCHAR)."""
+    arms = []
+    for c in columns:
+        arms.append(f"""
+SELECT '{c}' AS column,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(min({c}) AS VARCHAR) AS min_str,
+       CAST(max({c}) AS VARCHAR) AS max_str
+FROM {table}""")
+    return "\nUNION ALL\n".join(arms)

@@ -8619,6 +8619,58 @@ def q_chunk_storage_stats(spark, sf):
     return chunk_storage_stats(aug)
 
 
+def _weighted_sample_oracle() -> str:
+    from .operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql()
+
+
+@register("weighted_sample_topk", _weighted_sample_oracle())
+def q_weighted_sample_topk(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample; Efraimidis-Spirakis priority form):
+    inclusion probability proportional to weight (n_chars — the
+    quality-weighted subsample), yet every draw is a pure function of
+    the doc id: retry-safe, rerun-identical, and growing the corpus
+    never changes an existing row's priority, only the cut line.  The
+    priority is ONE IEEE division of two exact integers — bit-identical
+    cross-engine, so the top-k boundary cannot flip; the report floors
+    to integer ppb (floor because Spark's double->long cast truncates
+    while DuckDB's rounds).  Plan: map-only priority +
+    TakeOrderedAndProject — per-partition heaps, k rows to the driver,
+    no global sort at any corpus size."""
+    from .operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return weighted_sample(docs)
+
+
+def _table_stats_oracle() -> str:
+    from .plans.partitioning import table_stats_sql
+
+    return table_stats_sql(
+        ["event_id", "ts", "user_id", "event_type", "props"]
+    )
+
+
+@register("table_stats_report", _table_stats_oracle())
+def q_table_stats_report(spark, sf):
+    """ANALYZE-style per-column table statistics
+    (plans/partitioning.table_stats): row count, exact NDV, null count,
+    native-typed min/max rendered as strings — the numbers a cost-based
+    optimizer (or a human sizing shuffle partitions and broadcast
+    thresholds) reads before planning.  The double column is profiled
+    by the quantile/MAD queries instead (float min/max STRING rendering
+    differs across engines; every stat here is integer or lexical).
+    Exact NDV is the expensive term at fleet scale — the sketch twin is
+    the HLL contract query — and all five columns' aggregates ride ONE
+    pass over the scan."""
+    from .plans.partitioning import table_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return table_stats(ev, ["event_id", "ts", "user_id", "event_type", "props"])
+
+
 def _with_session_confs(fn: SparkQuery) -> SparkQuery:
     """The driver runs queries on its own SparkSession; pin the
     semantics-critical runtime confs per call (UTC timestamps, last-win

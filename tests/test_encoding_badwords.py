@@ -271,3 +271,85 @@ class TestContentChunks:
         )
         assert fp["broadcast_joins"] + fp["sort_merge_joins"] == 0
         assert fp["cartesian"] + fp["nested_loop_joins"] == 0
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis priority sampling: parity pins the exact
+    top-k; these pin the contract — determinism, weight monotonicity
+    under a shared draw, growth stability, and the top-k plan."""
+
+    def test_deterministic_and_weight_sensitive(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7 + 1).alias("n_chars"),
+        )
+        a = [tuple(r) for r in weighted_sample(docs, k=10).collect()]
+        b = [tuple(r) for r in weighted_sample(docs, k=10).collect()]
+        assert a == b
+        # with weight 10^6 on one row and ~7 elsewhere, the heavy row
+        # must out-prioritize everything (u spans only 2^32)
+        heavy = docs.withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") == 123, F.lit(10**12)).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        top = weighted_sample(heavy, k=1).collect()[0]
+        assert top["doc_id"] == 123
+
+    def test_growth_never_reshuffles_existing_priorities(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        small = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit(50).alias("n_chars")
+        )
+        big = spark.range(300).select(
+            F.col("id").alias("doc_id"), F.lit(50).alias("n_chars")
+        )
+        pa = {r["doc_id"]: r["priority_ppb"]
+              for r in weighted_sample(small, k=100).collect()}
+        pb = {r["doc_id"]: r["priority_ppb"]
+              for r in weighted_sample(big, k=300).collect()}
+        assert all(pb[d] == p for d, p in pa.items())
+
+    def test_take_ordered_plan(self, spark):
+        from python_fastly_log_query_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit(5).alias("n_chars")
+        )
+        plan = weighted_sample(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestTableStats:
+    def test_handmade_frame(self, spark):
+        from python_fastly_log_query_spark.plans.partitioning import table_stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, None), (10, "b")],
+            "k long, s string",
+        )
+        out = {r["column"]: r for r in table_stats(df, ["k", "s"]).collect()}
+        assert out["k"]["n_rows"] == 4
+        assert out["k"]["ndv"] == 4
+        assert out["k"]["n_nulls"] == 0
+        # native-typed min/max: 2 < 10 numerically (a string min would say "10" < "2")
+        assert (out["k"]["min_str"], out["k"]["max_str"]) == ("1", "10")
+        assert out["s"]["ndv"] == 2  # count_distinct skips NULL
+        assert out["s"]["n_nulls"] == 1
+
+    def test_one_scan_no_join(self, spark):
+        from python_fastly_log_query_spark.plans.partitioning import table_stats
+
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        plan = table_stats(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
