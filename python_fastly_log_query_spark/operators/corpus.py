@@ -1895,8 +1895,13 @@ def tfidf_overlap_pairs(
     from .dedup import word_shingles
 
     from .dedup import selfjoin_ready
+    from ..plans.partitioning import spread
 
-    sh = docs.select(
+    # fan small-file inputs over the cluster before the shingle explode
+    # (guide §2.5 input skew: the sf tables are one file = one scan
+    # partition, which serialized the explode/tf pipeline onto 1-2 tasks;
+    # no-op on well-partitioned production input)
+    sh = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), ngram)).alias("w"),
     )
@@ -2024,9 +2029,11 @@ def containment_pairs(
     B-in-A are different facts with different denominators).
     """
     from .dedup import selfjoin_ready, word_shingles
+    from ..plans.partitioning import spread
 
+    # spread: same small-file fan-out rationale as tfidf_overlap_pairs
     tok = selfjoin_ready(
-        docs.select(
+        spread(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_shingles(F.col(text_col), ngram)).alias("w"),
         ).distinct()
