@@ -1621,6 +1621,36 @@ def _scratch_root() -> str:
     )
 
 
+# Stateful-operator partition count for the streaming drains (opt r6).
+# A stateful operator's partition count freezes at checkpoint creation
+# and EVERY state partition pays fixed open/commit cost per micro-batch,
+# so it must be sized to the horizon's event volume — not inherited from
+# the session's scan/shuffle default (the contract the bounded-dedup and
+# error-attribution runs already applied individually; hoisted here for
+# every stateful drain).  Env-overridable: a 10^12-row/day ingest raises
+# it so per-partition state stays within a store instance's sweet spot.
+_STREAM_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+
+
+class _stream_drain_parts:
+    """Context manager pinning ``spark.sql.shuffle.partitions`` to the
+    stream-state sizing for the duration of a drain, restoring after."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def _stream_scratch(spark: SparkSession, family: str) -> tuple[str, str]:
     import shutil
     import uuid
@@ -1666,17 +1696,23 @@ def q_streaming_hourly_rollup(spark, sf):
     from . import oracle_corpus as oc
     from .streaming.jobs import hourly_rollup, run_available_now, stream_parse_docs
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_rollup")
-    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    # spread the landing write: a single-file src would make every
+    # micro-batch's pandas parse a single task (opt r6; AvailableNow
+    # with no trigger cap still drains all files as ONE batch)
+    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
         columns=["timestamp", "status_code"],
         schema="event_id long, text string",
     )
-    run_available_now(
-        hourly_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            hourly_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
+        )
     return spark.table(name)
 
 
@@ -2063,17 +2099,20 @@ def q_streaming_exact_dedup(spark, sf):
     (dedup.build_signature_table) covering cross-horizon duplicates."""
     from .streaming.jobs import run_available_now, stream_docs
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_dedup")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    docs.write.mode("overwrite").parquet(f"{work}/src")
+    spread(docs).write.mode("overwrite").parquet(f"{work}/src")
     deduped = (
         stream_docs(spark, f"{work}/src")
         .withColumn("fp", F.md5("text"))
         .dropDuplicates(["fp"])
     )
-    run_available_now(
-        deduped.select("fp"), f"{work}/ckpt", queryName=name, outputMode="append"
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            deduped.select("fp"), f"{work}/ckpt", queryName=name, outputMode="append"
+        )
     return spark.table(name).agg(F.count(F.lit(1)).alias("unique_docs"))
 
 
@@ -2432,18 +2471,21 @@ def q_streaming_ip_totals(spark, sf):
         stream_parse_docs,
     )
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_ip_totals")
-    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
         columns=["timestamp", "ip_address"],
         schema="event_id long, text string",
     )
-    run_available_now(
-        ip_request_rate_stream(parsed), f"{work}/ckpt", queryName=name,
-        outputMode="update",
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            ip_request_rate_stream(parsed), f"{work}/ckpt", queryName=name,
+            outputMode="update",
+        )
     return (
         spark.table(name)
         .groupBy("ip_address")
@@ -2465,8 +2507,10 @@ def q_streaming_routed_counts(spark, sf):
 
     from .streaming.jobs import stream_parse_docs
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_routed")
-    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
@@ -2664,10 +2708,14 @@ def q_streaming_neardup_ingest(spark, sf):
     mid = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     work, name = _stream_scratch(spark, "stream_neardup")
 
+    from .plans.partitioning import spread
+
     banded_signature_keys(docs.filter(F.col("doc_id") < mid), _NH, _NB).write.mode(
         "overwrite"
     ).parquet(f"{work}/sig")
-    docs.filter(F.col("doc_id") >= mid).select("doc_id", "text").write.mode(
+    # spread the arriving-half landing write: a single-file src would run
+    # every micro-batch's banded-key projection as one task (opt r6)
+    spread(docs.filter(F.col("doc_id") >= mid).select("doc_id", "text")).write.mode(
         "overwrite"
     ).parquet(f"{work}/src")
 
@@ -6350,17 +6398,21 @@ def q_streaming_hopping_rollup(spark, sf):
     from . import oracle_corpus as oc
     from .streaming.jobs import hopping_rollup, run_available_now, stream_parse_docs
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_hop")
-    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
         columns=["timestamp", "status_code"],
         schema="event_id long, text string",
     )
-    run_available_now(
-        hopping_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            hopping_rollup(parsed), f"{work}/ckpt", queryName=name,
+            outputMode="complete",
+        )
     return spark.table(name)
 
 
@@ -6807,12 +6859,13 @@ def q_streaming_cdc_snapshot(spark, sf):
         "event_type string, value double",
         max_files_per_trigger=1,
     )
-    run_available_now(
-        cdc_materialize_stream(chg),
-        f"{work}/ckpt",
-        queryName=name,
-        outputMode="update",
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            cdc_materialize_stream(chg),
+            f"{work}/ckpt",
+            queryName=name,
+            outputMode="update",
+        )
     snap = spark.table(name)
     latest = snap.groupBy("k").agg(
         F.max_by(
@@ -7697,9 +7750,11 @@ def q_streaming_ip_sessions(spark, sf):
         schema="event_id long, text string",
         max_files_per_trigger=2,
     )
-    run_available_now(
-        session_rollup(parsed), f"{work}/ckpt", queryName=name, outputMode="complete"
-    )
+    with _stream_drain_parts(spark):
+        run_available_now(
+            session_rollup(parsed), f"{work}/ckpt", queryName=name,
+            outputMode="complete",
+        )
     per_session = spark.table(name)
     return (
         per_session.groupBy("ip_address")
@@ -7878,8 +7933,10 @@ def q_streaming_enriched_counts(spark, sf):
     from .datagen import geoip_dim
     from .streaming.jobs import stream_parse_docs
 
+    from .plans.partitioning import spread
+
     work, name = _stream_scratch(spark, "stream_enrich")
-    oc.log_lines(spark, sf).write.mode("overwrite").parquet(f"{work}/src")
+    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
