@@ -1009,6 +1009,7 @@ def knn_graph_learned(
     id_col: str = "vec_id",
     mode: str = "auto",
     cents: list | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the trained quantizer — top-``k``
     nearest neighbors for EVERY vector, the backbone structure
@@ -1030,6 +1031,15 @@ def knn_graph_learned(
     join/window shuffles key on ``cell`` / source id (no hot key:
     cells are size-bounded by construction).  ``nprobe == n_cells``
     degrades to the exact brute-force graph (tested).
+
+    ``sources`` (optional) restricts the graph to the given source ids
+    BEFORE candidate generation (opt r6): each source row's neighbor
+    list depends only on that source's probes against the homed corpus,
+    so filtering sources early yields rows identical to filtering the
+    full graph afterwards — the predicate pushdown Catalyst cannot do
+    through the numpy stages, done by hand.  graph_expand_topk uses it
+    to score ``n_seeds`` sources instead of ranking the whole
+    N·nprobe·cell_size candidate volume it then discards.
     """
     from pyspark.sql.window import Window
 
@@ -1043,6 +1053,10 @@ def knn_graph_learned(
     probes = _km_probe_df(base, cents, nprobe, "_qv", id_col).select(
         F.col(id_col).alias("vec_a"), "cell"
     )
+    if sources is not None:
+        probes = probes.join(
+            F.broadcast(sources.select(F.col(id_col).alias("vec_a"))), "vec_a"
+        )
     home = _km_assign_df(base, cents, "_qv", id_col).select(
         F.col(id_col).alias("vec_b"), "cell"
     )
@@ -1582,16 +1596,27 @@ def graph_expand_topk(
     # ONE quantizer training shared by the seed scan and the graph —
     # bit-identical to training twice (kmeans_fit is deterministic), at
     # half the cost; at deploy scale both structures are pre-built.
+    from .dedup import selfjoin_ready
+
     cents = kmeans_fit(emb, k=n_cells, iters=iters, id_col=id_col)
-    seeds = ivf_learned_topk(
-        emb, query_vec_id, n_seeds, n_cells=n_cells, iters=iters,
-        nprobe=nprobe, id_col=id_col, cents=cents,
-    ).select(id_col)
+    # seeds feed THREE consumers (graph restriction, neighbor union,
+    # candidate union) — persist so the IVF seed scan runs once
+    seeds = selfjoin_ready(
+        ivf_learned_topk(
+            emb, query_vec_id, n_seeds, n_cells=n_cells, iters=iters,
+            nprobe=nprobe, id_col=id_col, cents=cents,
+        ).select(id_col)
+    )
+    # restrict the graph build to the seed ids (opt r6): the expansion
+    # only reads seed rows, and per-source neighbor lists are
+    # independent, so this is row-identical to building the full graph
+    # and joining — while scoring n_seeds·nprobe·cell_size candidates
+    # instead of N·nprobe·cell_size
     graph = knn_graph_learned(
         emb, k=graph_k, n_cells=n_cells, iters=iters, nprobe=nprobe,
-        id_col=id_col, cents=cents,
+        id_col=id_col, cents=cents, sources=seeds,
     )
-    nbrs = graph.join(seeds, id_col).select(F.col("nbr_id").alias(id_col))
+    nbrs = graph.select(F.col("nbr_id").alias(id_col))
     cand = seeds.union(nbrs).distinct()
     base = with_norm(emb).join(cand, id_col)
     q = with_norm(emb.filter(F.col(id_col) == query_vec_id)).select(
