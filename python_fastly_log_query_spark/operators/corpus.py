@@ -1280,15 +1280,28 @@ def incremental_dedup_bloom(
 def _bigram_buckets(docs: DataFrame, n_buckets: int = 256,
                     salt: str = "blm") -> DataFrame:
     """(doc_id, b1, b2) hashed-bucket bigrams of each doc's token
-    stream — one exploded pair per adjacent token position."""
+    stream — one exploded pair per adjacent token position.
+
+    The bucket array is bound to a column in its own projection first
+    (opt r6): the two slices and the size() previously referenced the
+    md5-per-token transform EXPRESSION, which interpreted HOF eval
+    recomputes per reference — 3 bucket-chain evaluations per row; as
+    an attribute it is computed once and the slices are cheap array
+    views.  The small-file input is spread so the explode uses the
+    cluster."""
+    from ..plans.partitioning import spread
+
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    buckets = F.transform(toks, lambda w: _hash_bucket(w, salt, n_buckets))
-    n = F.size(buckets)
-    zipped = F.arrays_zip(
-        F.slice(buckets, 1, n - 1).alias("b1"),
-        F.slice(buckets, 2, n - 1).alias("b2"),
+    bound = spread(docs).select(
+        "doc_id",
+        F.transform(toks, lambda w: _hash_bucket(w, salt, n_buckets)).alias("_b"),
     )
-    return docs.select("doc_id", F.explode(zipped).alias("p")).select(
+    n = F.size("_b")
+    zipped = F.arrays_zip(
+        F.slice("_b", 1, n - 1).alias("b1"),
+        F.slice("_b", 2, n - 1).alias("b2"),
+    )
+    return bound.select("doc_id", F.explode(zipped).alias("p")).select(
         "doc_id", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2")
     )
 
@@ -1586,29 +1599,28 @@ def pmi_top_bigrams(
     of keeping transcendentals out of hashed values).  ``min_count``
     keeps the one-off pairs PMI notoriously over-ranks out of the top-k.
 
-    Plan: bigram extraction is map-only (an index-transform + explode —
-    no self-join); pair and unigram counts are map-side-combined
+    Plan: bigram extraction is map-only (zipped shifted slices of the
+    bound token array + explode — no self-join, and no per-position
+    element_at against the split EXPRESSION, which interpreted HOF eval
+    re-splits per access: O(words²) splits per doc in the previous
+    shape, opt r6); pair and unigram counts are map-side-combined
     groupBys; the final rank is TakeOrderedAndProject over pairs
     passing ``min_count``.  Everything shuffled is count rows, never
     corpus rows."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = docs.select(
+    from ..plans.partitioning import spread
+
+    base = spread(docs).select(F.split(F.col(text_col), " ").alias("_t"))
+    n = F.size("_t")
+    pairs = base.select(
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
+            F.arrays_zip(
+                F.slice("_t", 1, n - 1).alias("w1"),
+                F.slice("_t", 2, n - 1).alias("w2"),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
     uni = (
-        docs.select(F.explode(toks).alias("w"))
+        base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("nw"))
     )
