@@ -62,15 +62,21 @@ def to_repr(word) -> F.Column:
 
 
 def _pairs(words: DataFrame) -> DataFrame:
-    """Adjacent symbol pairs (with multiplicity) weighted by word freq."""
-    syms = F.split(F.trim(F.col("repr")), "  ")
-    n = F.size(syms)
+    """Adjacent symbol pairs (with multiplicity) weighted by word freq.
+
+    The symbol array binds to a column first (opt r6): the two slices
+    and size() referencing the split EXPRESSION re-evaluated the
+    split-of-trim chain three times per row under interpreted eval."""
+    bound = words.select(
+        "freq", F.split(F.trim(F.col("repr")), "  ").alias("_syms")
+    )
+    n = F.size("_syms")
     zipped = F.arrays_zip(
-        F.slice(syms, 1, n - 1).alias("l"),
-        F.slice(syms, 2, n - 1).alias("r"),
+        F.slice("_syms", 1, n - 1).alias("l"),
+        F.slice("_syms", 2, n - 1).alias("r"),
     )
     return (
-        words.select("freq", F.explode(zipped).alias("p"))
+        bound.select("freq", F.explode(zipped).alias("p"))
         .select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .groupBy("l", "r")
         .agg(F.sum("freq").alias("cnt"))
@@ -102,8 +108,15 @@ def bpe_train(
     ``localCheckpoint`` every ``checkpoint_every`` rounds to keep the
     plan shallow (same pattern as connected_components' iteration).
     """
-    words = word_freqs(docs, text_col).select(
-        to_repr("word").alias("repr"), "freq"
+    from .dedup import selfjoin_ready
+
+    # vocabulary-sized persist (opt r6): every round's argmax re-reads
+    # the word table, and without it rounds before the first
+    # localCheckpoint re-ran the corpus scan + word groupBy from
+    # scratch (K=10 meant ~4 corpus scans); the persisted state is the
+    # word-frequency dim, never corpus-sized (the module's scale note).
+    words = selfjoin_ready(
+        word_freqs(docs, text_col).select(to_repr("word").alias("repr"), "freq")
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for k in range(1, num_merges + 1):
