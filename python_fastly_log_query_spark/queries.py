@@ -1651,6 +1651,39 @@ class _stream_drain_parts:
         return False
 
 
+# Shuffle sizing for HOST-DIMENSION fixpoint iterations (opt r6).  The
+# webgraph loops (pagerank/HITS/SCC/coreness/LPA/BFS) iterate frames
+# bounded by the host dim — tens of rows here, maybe 10^6-10^9 on a real
+# crawl — with one or more eager actions per round.  Two costs scale
+# with the SESSION shuffle default instead of the data: every round
+# schedules `partitions` tasks for a dim-sized frame, and the eager
+# per-round checkpoints re-materialize all of them.  Pin a small static
+# partition count (guide §2: derive partitioning from input size, not a
+# constant tuned to either geometry), restored on exit so the
+# surrounding query still runs under the session config.  AQE stays ON
+# — the measured sweep (pagerank/LPA/HITS/SCC/coreness/centrality/
+# triangles/BFS at sf0.1) showed partitions=4 + AQE beating both the
+# session default and partitions=4 + AQE-off (which regressed the
+# broadcast-join-heavy triangle plan 0.9s -> 1.7s).
+# SPARK_GRAFT_DIM_SHUFFLE_PARTITIONS raises it for real crawl graphs.
+_DIM_ITER_PARTS = os.environ.get("SPARK_GRAFT_DIM_SHUFFLE_PARTITIONS", "4")
+
+
+class _dim_iteration_conf:
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        c = self._spark.conf
+        self._prev = c.get("spark.sql.shuffle.partitions")
+        c.set("spark.sql.shuffle.partitions", _DIM_ITER_PARTS)
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False
+
+
 def _stream_scratch(spark: SparkSession, family: str) -> tuple[str, str]:
     import shutil
     import uuid
@@ -4120,8 +4153,9 @@ def q_host_pagerank(spark, sf):
     from .operators.webgraph import extract_outlinks, pagerank
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    edges = extract_outlinks(_wg_pages_spark(docs))
-    return pagerank(edges, iterations=5)
+    with _dim_iteration_conf(spark):
+        edges = extract_outlinks(_wg_pages_spark(docs))
+        return pagerank(edges, iterations=5)
 
 
 # ------------------------------------------------- host boilerplate lines
@@ -4808,8 +4842,9 @@ def q_host_communities(spark, sf):
     from .operators.webgraph import extract_outlinks, label_propagation
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    edges = extract_outlinks(_wg_pages_spark(docs))
-    return label_propagation(edges, iterations=4)
+    with _dim_iteration_conf(spark):
+        edges = extract_outlinks(_wg_pages_spark(docs))
+        return label_propagation(edges, iterations=4)
 
 
 def _normalize_oracle() -> str:
@@ -5921,7 +5956,8 @@ def q_crawl_budget_tiers(spark, sf):
     from .operators.webgraph import extract_outlinks, pagerank
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    pr = pagerank(extract_outlinks(_wg_pages_spark(docs)), iterations=5)
+    with _dim_iteration_conf(spark):
+        pr = pagerank(extract_outlinks(_wg_pages_spark(docs)), iterations=5)
     w = Window.orderBy(F.desc("pr"), F.asc("host"))
     return pr.select(
         "host", "pr", F.ntile(4).over(w).cast("long").alias("tier")
@@ -6185,8 +6221,9 @@ def q_host_hits(spark, sf):
     from .operators.webgraph import extract_outlinks, hits
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    edges = extract_outlinks(_wg_pages_spark(docs))
-    return hits(edges, iterations=3)
+    with _dim_iteration_conf(spark):
+        edges = extract_outlinks(_wg_pages_spark(docs))
+        return hits(edges, iterations=3)
 
 
 # ---------------------------------------------------- MAD outlier audit
@@ -6500,11 +6537,12 @@ def q_host_trustrank(spark, sf):
     from .operators.webgraph import extract_outlinks, pagerank
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    edges = extract_outlinks(_wg_pages_spark(docs)).localCheckpoint()
-    pr = pagerank(edges, iterations=5)
-    tr = pagerank(edges, iterations=5, personalize=_TR_SEEDS).withColumnRenamed(
-        "pr", "tr"
-    )
+    with _dim_iteration_conf(spark):
+        edges = extract_outlinks(_wg_pages_spark(docs)).localCheckpoint()
+        pr = pagerank(edges, iterations=5)
+        tr = pagerank(
+            edges, iterations=5, personalize=_TR_SEEDS
+        ).withColumnRenamed("pr", "tr")
     j = pr.join(tr, "host")
     return j.select(
         "host",
@@ -6701,7 +6739,8 @@ def q_host_crawl_depths(spark, sf):
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     edges = extract_outlinks(_wg_pages_spark(docs))
-    return bfs_depths(edges, ["site0.com"], max_depth=4)
+    with _dim_iteration_conf(spark):
+        return bfs_depths(edges, ["site0.com"], max_depth=4)
 
 
 # ----------------------------------------------------- k-center diversity
@@ -7792,7 +7831,8 @@ def q_host_triangle_stats(spark, sf):
     from .operators.webgraph import extract_outlinks, triangle_stats
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return triangle_stats(extract_outlinks(_wg_pages_spark(docs)))
+    with _dim_iteration_conf(spark):
+        return triangle_stats(extract_outlinks(_wg_pages_spark(docs)))
 
 
 def _editdist_oracle() -> str:
@@ -7986,7 +8026,8 @@ def q_host_scc(spark, sf):
     from .operators.webgraph import extract_outlinks, scc_components
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return scc_components(extract_outlinks(_wg_pages_spark(docs)))
+    with _dim_iteration_conf(spark):
+        return scc_components(extract_outlinks(_wg_pages_spark(docs)))
 
 
 @register(
@@ -8044,7 +8085,8 @@ def q_host_centrality_stats(spark, sf):
     from .operators.webgraph import centrality_stats, extract_outlinks
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return centrality_stats(extract_outlinks(_wg_pages_spark(docs)))
+    with _dim_iteration_conf(spark):
+        return centrality_stats(extract_outlinks(_wg_pages_spark(docs)))
 
 
 @register(
@@ -8444,7 +8486,8 @@ def q_host_coreness(spark, sf):
     from .operators.webgraph import coreness, extract_outlinks
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return coreness(extract_outlinks(_wg_pages_spark(docs)), rounds=8)
+    with _dim_iteration_conf(spark):
+        return coreness(extract_outlinks(_wg_pages_spark(docs)), rounds=8)
 
 
 def _encoding_oracle() -> str:
