@@ -536,9 +536,40 @@ def simhash_docs(docs: DataFrame, bits: int = 16, ngram: int = 1) -> DataFrame:
         "doc_id",
         F.transform(feats, _token_digest(bits)).alias("_th"),
     )
-    return hashed.select(
-        "doc_id", simhash_from_hashes(F.col("_th"), bits).alias("simhash")
-    )
+
+    # Vote + pack in a numpy batch stage (opt r6).  The Catalyst shape
+    # (simhash_from_hashes) runs `bits` interpreted aggregate folds over
+    # the digest array per row — 2.2s for w64/3-gram at sf0.1; the vote
+    # is pure integer counting over the SAME JVM-computed md5 hex
+    # digests, so the numpy twin is bit-identical by construction
+    # (vote_j = 2*count(digit_j >= '8') - n_tokens, bit_j = vote_j >= 0,
+    # little-endian pack with bit 63 wrapping into the sign exactly like
+    # shiftleft) — verified exceptAll 0/0 against the fold at both
+    # (64, 3-gram) and (16, unigram).  Measured 2.2s -> 0.73s.
+    import numpy as np
+    import pandas as pd
+
+    def _iter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, toks in enumerate(pdf["_th"]):
+                dig = np.frombuffer(
+                    "".join(toks).encode(), dtype=np.uint8
+                ).reshape(len(toks), -1)[:, :bits]
+                # hex digit >= '8': bytes are 0-9a-f, so byte >= ord('8')
+                votes = 2 * (dig >= 56).sum(axis=0, dtype=np.int64) - len(toks)
+                packed = int(
+                    (
+                        (votes >= 0).astype(np.uint64)
+                        << np.arange(bits, dtype=np.uint64)
+                    ).sum(dtype=np.uint64)
+                )
+                out[i] = packed - (1 << 64) if packed >= (1 << 63) else packed
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return hashed.mapInPandas(_iter, schema="doc_id long, simhash long")
 
 
 def simhash_blocks(bits: int, n_blocks: int) -> list[tuple[int, int]]:
