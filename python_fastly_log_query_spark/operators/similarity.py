@@ -1766,15 +1766,29 @@ def kcenter_select(
     centers = [
         {"sel_rank": 0, "id": seed[id_col], "radius_q": 0, "qv": list(seed["_qv"])}
     ]
+    # the argmax struct carries the winner's quantized vector too (opt
+    # r6): ids are unique, so the third field can never affect which row
+    # wins (dist_sq, id) — and the separate 1-row filter+collect qv
+    # fetch per round (doubling the round's job count) disappears.  The
+    # vector rides the assignment stage's Arrow batch via `keep` (an
+    # aliased copy, since the vec_col itself feeds the matmul).
+    keyed = base.withColumn("_qvk", F.col("_qv"))
     for r in range(1, k):
-        asg = _km_assign_df(base, [c["qv"] for c in centers], "_qv", id_col)
+        asg = _km_assign_df(
+            keyed, [c["qv"] for c in centers], "_qv", id_col, keep=("_qvk",)
+        )
         far = asg.agg(
-            F.max(F.struct(F.col("dist_sq"), F.col(id_col))).alias("m")
+            F.max(
+                F.struct(F.col("dist_sq"), F.col(id_col), F.col("_qvk"))
+            ).alias("m")
         ).collect()[0]["m"]
-        fid = far[id_col]
-        qv = list(base.filter(F.col(id_col) == fid).collect()[0]["_qv"])
         centers.append(
-            {"sel_rank": r, "id": fid, "radius_q": int(far["dist_sq"]), "qv": qv}
+            {
+                "sel_rank": r,
+                "id": far[id_col],
+                "radius_q": int(far["dist_sq"]),
+                "qv": list(far["_qvk"]),
+            }
         )
     return centers, base
 
