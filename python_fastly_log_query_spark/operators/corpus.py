@@ -2337,48 +2337,71 @@ def content_chunks(
     positions never cut (no full gram yet), and the document end always
     ends the last chunk.
 
-    Plan / 100 TB shape: positional grams as pure Column exprs (the
-    :func:`winnow_fingerprints` builder), ONE doc-bounded running-sum
-    window (frame ``[unbounded, -1]`` over the boundary flags — the
-    chunk index), then a (doc, chunk) groupBy whose rebuild aggregate
-    is the host-boilerplate array_sort pattern.  Window partitions are
-    document-sized, never corpus-skewed; the corpus shuffles twice
-    (window, chunk groupBy), both with partial aggregation."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-        F.split(F.col(text_col), " ").alias("_toks"),
-    )
-    gram = F.when(
-        F.col("pos") >= k - 1,
-        F.array_join(F.slice("_toks", F.col("pos") - (k - 2), k), " "),
-    )
-    fp = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
-    cut = F.when(gram.isNotNull() & (fp % divisor == 0), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = toks.select("doc_id", "pos", "tok", cut.alias("_cut"))
-    idx = F.coalesce(F.sum("_cut").over(w), F.lit(0)).cast("long")
-    chunks = flagged.withColumn("chunk_idx", idx)
-    return chunks.groupBy("doc_id", "chunk_idx").agg(
-        F.md5(
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s.tok,
-                    ),
-                    " ",
-                ),
-                "UTF-8",
+    Plan / 100 TB shape (opt r6): chunking is a PER-DOCUMENT sequential
+    decision, so the whole token→cut→chunk pipeline runs inside ONE
+    Arrow batch stage — map-only, zero shuffle of token rows (the
+    previous shape exploded every token, paid a doc-keyed window sort
+    shuffle for the running cut count, and rebuilt chunks with a
+    collect_list groupBy: two corpus-token shuffles that carried no
+    cross-document information).  md5 of a UTF-8 string is identical in
+    hashlib and the JVM, and Python ``split(" ")`` matches
+    ``F.split(text, " ")`` (both keep empty tokens), so every boundary,
+    chunk_idx, and chunk_md5 is byte-identical to the Column-expression
+    shape — pinned by the resynchronization unit tests and the full
+    DuckDB oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..plans.partitioning import spread
+
+    def _iter(batches):
+        for pdf in batches:
+            ids, idxs, md5s, ntoks = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["_text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                n = len(toks)
+                chunk: list[str] = []
+                ci = 0
+                for i, tok in enumerate(toks):
+                    chunk.append(tok)
+                    if i >= k - 1 and i < n - 1:
+                        gram = " ".join(toks[i - k + 1 : i + 1])
+                        fp = int(
+                            hashlib.md5(gram.encode()).hexdigest()[:8], 16
+                        )
+                        if fp % divisor == 0:
+                            ids.append(did)
+                            idxs.append(ci)
+                            md5s.append(
+                                hashlib.md5(" ".join(chunk).encode()).hexdigest()
+                            )
+                            ntoks.append(len(chunk))
+                            chunk = []
+                            ci += 1
+                if chunk:
+                    ids.append(did)
+                    idxs.append(ci)
+                    md5s.append(
+                        hashlib.md5(" ".join(chunk).encode()).hexdigest()
+                    )
+                    ntoks.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_md5": pd.Series(md5s, dtype="object"),
+                    "n_toks": pd.Series(ntoks, dtype="int64"),
+                }
             )
-        ).alias("chunk_md5"),
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
+
+    bound = spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    return bound.mapInPandas(
+        _iter, schema="doc_id long, chunk_idx long, chunk_md5 string, n_toks long"
     )
 
 
