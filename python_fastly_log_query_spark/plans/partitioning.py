@@ -215,20 +215,23 @@ def table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     row count, exact distinct count, null count, and min/max rendered
     as strings (type-uniform output).  One row per column.
 
-    At fleet scale the exact ``count_distinct`` is the expensive term
-    (one shuffle per column); the sketch path is the existing HLL
-    contract query (``approx_distinct_ips_per_path``) — this operator
-    is the exact twin a small-table ANALYZE runs, and the per-column
-    aggregates all ride ONE pass over the scan (Spark compiles the
-    multi-agg into a single Aggregate over the scan; distincts expand
-    rather than rescan).
+    At fleet scale the exact ``count_distinct`` is the expensive term;
+    the sketch path is the existing HLL contract query
+    (``approx_distinct_ips_per_path``) — this operator is the exact
+    twin a small-table ANALYZE runs.
 
-    Plan: one wide aggregate (expand + partial aggs), no joins; output
-    is columns-count rows."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
+    Plan (opt r6): the count/null/min/max stats ride ONE hash
+    aggregate over the scan; each NDV is its OWN column-pruned
+    two-phase distinct aggregate, attached via 1-row broadcast cross
+    joins.  The previous shape put all k distincts in one aggregate,
+    which Spark plans as an Expand multiplying every row (k+1)x into a
+    sort-based aggregate (strings in the buffer) — measured 1.64s vs
+    0.51-0.67s for the split shape at sf0.1; on a columnar store the
+    per-NDV scans each read one column, so total bytes are unchanged
+    at any scale."""
+    base_aggs = [F.count(F.lit(1)).cast("long").alias("_rows")]
     for c in columns:
-        aggs += [
-            F.count_distinct(F.col(c)).cast("long").alias(f"_ndv_{c}"),
+        base_aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"_nulls_{c}"),
@@ -237,7 +240,10 @@ def table_stats(df: DataFrame, columns: list[str]) -> DataFrame:
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
-    one = df.agg(*aggs)
+    one = df.agg(*base_aggs)
+    for c in columns:
+        ndv = df.agg(F.count_distinct(F.col(c)).cast("long").alias(f"_ndv_{c}"))
+        one = one.crossJoin(F.broadcast(ndv))
     rows = []
     for c in columns:
         rows.append(

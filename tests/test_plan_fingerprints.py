@@ -75,6 +75,10 @@ def test_no_quadratic_join_shapes_outside_declared(live):
         # RRF fusion: two BM25 sources (1-row stats frame each) + the
         # cosine source's broadcast 1-row query-vector cross join
         "hybrid_rrf_topk": 3,
+        # ANALYZE pass (opt r6): each per-column NDV is its own
+        # column-pruned distinct aggregate, attached to the base-stats
+        # row via a broadcast 1-ROW cross join — five columns profiled
+        "table_stats_report": 5,
     }
     for name, fp in live.items():
         assert fp["cartesian"] == 0, (name, fp)
