@@ -361,8 +361,11 @@ def duplicated_spans(
     :func:`span_dedup`.
     """
     from .dedup import selfjoin_ready
+    from ..plans.partitioning import spread
 
-    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("_toks"))
+    # spread: the sf tables are one file = one scan partition, which
+    # serialized the window-key md5 explode onto a single task (opt r6)
+    toks = spread(docs).select(id_col, F.split(F.col("text"), " ").alias("_toks"))
     win_keys = F.when(
         F.size("_toks") >= min_words,
         F.transform(
@@ -501,8 +504,10 @@ def exact_substr_dedup(
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     from .dedup import selfjoin_ready
+    from ..plans.partitioning import spread
 
-    toks = docs.select(id_col, F.split(F.col("text"), " ").alias("_toks"))
+    # spread: same single-file fan-out rationale as duplicated_spans
+    toks = spread(docs).select(id_col, F.split(F.col("text"), " ").alias("_toks"))
     win_keys = F.when(
         F.size("_toks") >= min_words,
         F.transform(
