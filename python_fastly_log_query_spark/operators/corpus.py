@@ -80,7 +80,11 @@ def doc_ngrams(docs: DataFrame, n: int = 5, id_col: str = "doc_id") -> DataFrame
     + `array_join` over the already-split array.  Same gram values as
     :func:`dedup.word_shingles` (single-space split, whole-text
     fallback under n words)."""
-    toks = docs.select(id_col, "text", F.split(F.col("text"), " ").alias("_toks"))
+    from ..plans.partitioning import spread
+
+    toks = spread(docs).select(
+        id_col, "text", F.split(F.col("text"), " ").alias("_toks")
+    )
     grams = F.when(
         F.size("_toks") >= n,
         F.transform(
@@ -254,14 +258,20 @@ def doc_spans(docs: DataFrame, span_tokens: int = 16, id_col: str = "doc_id") ->
     ``span_tokens`` whitespace words (the last span of a doc is ragged):
     ``(doc_id, pos, span)``.  Pure Column expressions — sequence +
     slice + array_join, no UDF."""
-    words = F.split(F.col("text"), r"\s+")
-    n_spans = F.floor((F.size(words) + span_tokens - 1) / span_tokens).cast("int")
+    from ..plans.partitioning import spread
+
+    # bind the token array to a column (opt r6): slice-ing the split
+    # EXPRESSION inside the transform lambda re-evaluates the split per
+    # span under interpreted HOF eval; also fan the single-file scan out
+    bound = spread(docs).select(
+        id_col, F.split(F.col("text"), r"\s+").alias("_w")
+    )
+    n_spans = F.floor((F.size("_w") + span_tokens - 1) / span_tokens).cast("int")
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(words, i * span_tokens + 1, span_tokens), " "),
+        lambda i: F.array_join(F.slice("_w", i * span_tokens + 1, span_tokens), " "),
     )
-    exploded = docs.select(id_col, F.posexplode(spans).alias("pos", "span"))
-    return exploded
+    return bound.select(id_col, F.posexplode(spans).alias("pos", "span"))
 
 
 def span_dedup(
