@@ -53,12 +53,20 @@ def _parsed(
     spark: SparkSession, sf: str, cols: list[str] | None = None
 ) -> DataFrame:
     """Oracle corpus through the pandas grok parser.  ``cols`` prunes
-    the parsed output through the mapInPandas boundary (opt r6, guide
-    §4.1: Catalyst cannot push a projection into the Python stage, so
-    callers that consume a few fields prune by hand — fallback probes
-    are per-field independent, so restricting columns never changes the
-    values of the kept ones).  ``event_id`` always rides as the
-    passthrough key."""
+    the parsed output through the mapInPandas boundary (guide §4.1:
+    Catalyst cannot push a projection into the Python stage; fallback
+    probes are per-field independent, so restricting columns never
+    changes the values of the kept ones).  ``event_id`` always rides
+    as the passthrough key.
+
+    Registry call sites deliberately do NOT prune (opt r6 finding): a
+    pruned plan no longer matches a session-cached full parse, and in
+    any sweep that caches the shared parsed frame (bench.py's agg
+    section does), CacheManager substitution makes the FULL-parse
+    lineage effectively free while a pruned twin re-parses from
+    scratch — measured +0.4-1.3s per query when the eight standalone
+    consumers were pruned.  Prune only in pipelines with no shared
+    cached parse (the flagship does, via parsed_events(columns=...))."""
     return oc.parsed_events(spark, sf, columns=cols)
 
 
@@ -2090,7 +2098,7 @@ def q_ip_sessions(spark, sf):
     makes session assignment deterministic under equal timestamps."""
     from pyspark.sql.window import Window
 
-    p = _parsed(spark, sf, ["timestamp", "ip_address"])
+    p = _parsed(spark, sf)
     w = Window.partitionBy("ip_address").orderBy("timestamp", "event_id")
     prev = F.lag("timestamp").over(w)
     new_session = F.when(
@@ -2311,7 +2319,7 @@ def q_ip_sessions_chunked(spark, sf):
     path must reproduce the plain window result exactly."""
     from .operators.skew import sessionize_chunked
 
-    p = _parsed(spark, sf, ["timestamp", "ip_address"])
+    p = _parsed(spark, sf)
     per_session = sessionize_chunked(p, "ip_address", "timestamp", "event_id")
     return (
         per_session.groupBy("ip_address")
@@ -6021,7 +6029,7 @@ def q_cms_heavy_hitters(spark, sf):
     with the frequency-sketch half of the sketch toolbox."""
     from .operators.sketch import cms_estimate, cms_sketch
 
-    p = _parsed(spark, sf, ["path"])
+    p = _parsed(spark, sf)
     sk = cms_sketch(p, "path", _CMS_DEPTH, _CMS_WIDTH)
     exact = (
         p.filter(F.col("path").isNotNull())
@@ -6333,7 +6341,7 @@ def q_response_size_histogram(spark, sf):
     SLO reports read."""
     from .operators.aggregates import equidepth_histogram
 
-    p = _parsed(spark, sf, ["response_size"])
+    p = _parsed(spark, sf)
     return equidepth_histogram(p, "response_size", buckets=4)
 
 
@@ -6490,7 +6498,7 @@ def q_key_skew_audit(spark, sf):
     10^6 means one task owns the stage and the chunk/salt hardenings
     (operators/skew.py) are mandatory.  Exact percentile at test scale
     ↔ percentile_approx at fleet scale (the repo-wide dial)."""
-    p = _parsed(spark, sf, ["ip_address"])
+    p = _parsed(spark, sf)
     counts = (
         p.filter(F.col("ip_address").isNotNull())
         .groupBy("ip_address")
@@ -6956,7 +6964,7 @@ def q_session_path_transitions(spark, sf):
     window; hot-IP serialization takes the sessionization chunk
     hardening), then a map-side-combined edge rollup bounded by
     paths²."""
-    p = _parsed(spark, sf, ["timestamp", "ip_address", "path"])
+    p = _parsed(spark, sf)
     from pyspark.sql import Window
 
     w = Window.partitionBy("ip_address").orderBy("timestamp", "event_id")
@@ -7076,7 +7084,7 @@ def q_log_templates(spark, sf):
     get deterministic id/version segments spliced in (keyed on
     event_id, identically in both engines) so the collapse is
     witnessed: masked templates aggregate thousands of raw variants."""
-    p = _parsed(spark, sf, ["path"])
+    p = _parsed(spark, sf)
     varied = p.filter(F.col("path").isNotNull()).select(
         F.when(
             F.col("event_id") % 2 == 0,
@@ -7352,7 +7360,7 @@ def q_streaming_error_attribution(spark, sf):
     )
 
     work, name = _stream_scratch(spark, "stream_sjoin")
-    p = _parsed(spark, sf, ["timestamp", "ip_address", "status_code"]).filter(
+    p = _parsed(spark, sf).filter(
         F.col("ip_address").isNotNull() & F.col("status_code").isNotNull()
     )
     p.filter(F.col("status_code") < 400).select(
