@@ -368,6 +368,7 @@ def exact_cosine_pairs(
     mode: str = "auto",
     broadcast_max_rows: int = 2_000_000,
     n_rows: int | None = None,
+    per_source_topk: int | None = None,
 ) -> DataFrame:
     """Exact cosine for candidate id pairs, batched through numpy — never
     an interpreted per-pair HOF expression (VERDICT r2 item 1b: the
@@ -393,6 +394,15 @@ def exact_cosine_pairs(
     every cosine is BIT-IDENTICAL to the SQL oracles' list_dot_product
     fold (ADVICE r3: the earlier pairwise einsum could flip a rounded
     value when a pair landed within an ulp of a 1e-4 boundary).
+
+    ``per_source_topk`` (opt r6): keep only the top-k rows PER ``a_col``
+    WITHIN EACH BATCH, ordered (cosine desc, b_col asc) — the exact
+    order the callers' ranking windows use.  Top-k is a monoid (the
+    global top-k is contained in the union of per-batch top-ks), so a
+    downstream per-source ranking window computes identical final rows
+    while its shuffle input shrinks from candidate volume to
+    ≈ k · sources-per-batch — the guide §2.3 "aggregate before you
+    shuffle" move for ranking.
     """
     import numpy as np
     import pandas as pd
@@ -436,9 +446,19 @@ def exact_cosine_pairs(
                 ia = _gather(ids, pdf[a_col].to_numpy(np.int64))
                 ib = _gather(ids, pdf[b_col].to_numpy(np.int64))
                 cos = _dot_left(mat[ia], mat[ib]) / (norms[ia] * norms[ib])
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos}
                 )
+                if per_source_topk is not None:
+                    out = (
+                        out.sort_values(
+                            [a_col, "cosine", b_col],
+                            ascending=[True, False, True],
+                        )
+                        .groupby(a_col, sort=False)
+                        .head(per_source_topk)
+                    )
+                yield out
 
         return pairs.select(a_col, b_col).mapInPandas(_iter, schema=out_schema)
 
@@ -455,7 +475,16 @@ def exact_cosine_pairs(
             cos = _dot_left(a, b) / (
                 np.sqrt(_dot_left(a, a)) * np.sqrt(_dot_left(b, b))
             )
-            yield pd.DataFrame({a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos})
+            out = pd.DataFrame({a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos})
+            if per_source_topk is not None:
+                out = (
+                    out.sort_values(
+                        [a_col, "cosine", b_col], ascending=[True, False, True]
+                    )
+                    .groupby(a_col, sort=False)
+                    .head(per_source_topk)
+                )
+            yield out
 
     return joined.mapInPandas(_iter_join, schema=out_schema)
 
@@ -1065,7 +1094,13 @@ def knn_graph_learned(
         .filter(F.col("vec_a") != F.col("vec_b"))
         .select("vec_a", "vec_b")
     )
-    cos = exact_cosine_pairs(cand, emb, id_col=id_col, mode=mode)
+    # map-side per-source top-k inside the cosine stage (opt r6): the
+    # ranking window's input shrinks from the full candidate volume to
+    # ~k rows per source per batch; the window then computes identical
+    # final ranks (top-k is a monoid over the same ordering)
+    cos = exact_cosine_pairs(
+        cand, emb, id_col=id_col, mode=mode, per_source_topk=k
+    )
     w = Window.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
     return (
         cos.withColumn("rank", F.row_number().over(w))
