@@ -576,28 +576,59 @@ def ivf_assign(
     iterations, no RNG — the DuckDB oracle recomputes assignments
     exactly; swap in trained centroids at deploy time).
 
-    Assignment = argmax-cosine centroid, computed as a broadcast
-    cross-join against the ``n_cells``-row codebook + a per-vector
-    ranking window.  Returns ``(id, embedding, _norm, cell)``.  At 10^12
-    rows ``cell`` is the table's partition/cluster key.
-    """
-    from pyspark.sql.window import Window
+    Assignment = argmax-cosine centroid.  Returns ``(id, embedding,
+    _norm, cell)``.  At 10^12 rows ``cell`` is the table's
+    partition/cluster key.
 
-    base = with_norm(emb)
-    cents = base.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"),
-        F.col("embedding").alias("_ce"),
-        F.col("_norm").alias("_cn"),
+    Shape (opt r6): one strict-fold numpy batch stage — the previous
+    broadcast cross-join exploded every row n_cells× and ranked with a
+    per-vector window (a corpus shuffle + sort whose only job was an
+    argmax).  Every float op replicates the Catalyst expressions
+    bit-for-bit: dots and norms use the :func:`_dot_left` left-to-right
+    association, cosine is the same divide of the same products, and
+    numpy's argmax takes the FIRST maximum — the window's asc-cell
+    tie-break.  Map-only, no shuffle, centroid codebook gathered once
+    (n_cells rows — dimension-sized) and closed over the stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.partitioning import spread
+
+    cpdf = (
+        emb.filter(F.col(id_col) < n_cells)
+        .select(id_col, "embedding")
+        .toPandas()
+        .sort_values(id_col)
     )
-    cs = dot(F.col("embedding"), F.col("_ce")) / (F.col("_norm") * F.col("_cn"))
-    scored = base.join(F.broadcast(cents)).select(
-        id_col, "embedding", "_norm", "cell", cs.alias("_cs")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_cs")
+    C = np.stack(cpdf["embedding"].to_numpy()).astype(np.float64)
+    cnorm = np.sqrt(_dot_left(C, C))
+    dim = C.shape[1]
+
+    def _iter(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            xnorm = np.sqrt(_dot_left(X, X))
+            # strict left-to-right fold per (row, centroid) pair
+            dots = np.zeros((n, len(C)), dtype=np.float64)
+            for j in range(dim):
+                dots += X[:, j : j + 1] * C[:, j]
+            cos = dots / (xnorm[:, None] * cnorm[None, :])
+            cells = np.argmax(cos, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "embedding": pdf["embedding"],
+                    "_norm": xnorm,
+                    "cell": cells,
+                }
+            )
+
+    return spread(emb).select(id_col, "embedding").mapInPandas(
+        _iter, schema=f"{id_col} long, embedding array<float>, _norm double, cell long"
     )
 
 
