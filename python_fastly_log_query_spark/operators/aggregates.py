@@ -493,11 +493,14 @@ def top_request_ips(df: DataFrame, n: int = 20) -> DataFrame:
 def top_request_ips_with_ua(df: DataFrame, n: int = 10) -> DataFrame:
     """G34 (ref A:541-584): per top-N IP, the modal UA + distinct-UA count.
 
-    Grouped mode via a ranking window over per-(ip, ua) counts; joined back
-    to the per-IP totals.  The reference's label rule: append
+    Grouped mode as ONE aggregate (opt r6): ``min(struct(-ua_cnt,
+    user_agent, ua_cnt))`` orders exactly like the previous ranking
+    window's (ua_cnt DESC, user_agent ASC) — struct comparison uses the
+    same binary string order as a sort — and ``(ip, ua)`` is unique per
+    group, so the elected row is identical while the two window passes
+    (rank + per-partition count, each a sort) collapse into a
+    map-side-combinable aggregate.  The reference's label rule: append
     ``" (N unique UAs)"`` when N > 1."""
-    from pyspark.sql.window import Window
-
     d = df.filter(F.col("ip_address").isNotNull())
     tops = top_n(d, "ip_address", n, "request_count")
     with_ua = d.filter(F.col("user_agent").isNotNull()).join(
@@ -506,12 +509,24 @@ def top_request_ips_with_ua(df: DataFrame, n: int = 10) -> DataFrame:
     ua_counts = with_ua.groupBy("ip_address", "user_agent").agg(
         F.count(F.lit(1)).alias("ua_cnt")
     )
-    w = Window.partitionBy("ip_address").orderBy(F.desc("ua_cnt"), F.asc("user_agent"))
     modal = (
-        ua_counts.withColumn("rk", F.row_number().over(w))
-        .withColumn("unique_ua_count", F.count(F.lit(1)).over(Window.partitionBy("ip_address")))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        ua_counts.groupBy("ip_address")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("ua_cnt")).alias("_neg"),
+                    F.col("user_agent").alias("ua"),
+                    F.col("ua_cnt").alias("cnt"),
+                )
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("unique_ua_count"),
+        )
+        .select(
+            "ip_address",
+            F.col("_m.ua").alias("user_agent"),
+            F.col("_m.cnt").alias("ua_cnt"),
+            "unique_ua_count",
+        )
     )
     out = tops.join(modal, "ip_address", "left")
     return out.select(

@@ -347,9 +347,18 @@ class TestTableStats:
         assert out["s"]["ndv"] == 2  # count_distinct skips NULL
         assert out["s"]["n_nulls"] == 1
 
-    def test_one_scan_no_join(self, spark):
+    def test_no_corpus_joins_no_expand(self, spark):
+        """opt r6: per-column NDVs are their own column-pruned distinct
+        aggregates attached via broadcast 1-ROW cross joins — so the
+        plan carries exactly n_cols BroadcastNestedLoopJoins (the
+        declared benign class), NO corpus-side join strategy, and NO
+        Expand (the old all-distincts-in-one-aggregate shape multiplied
+        every row (k+1)x through a sort aggregate)."""
         from python_fastly_log_query_spark.plans.partitioning import table_stats
 
         df = spark.createDataFrame([(1, "a")], "k long, s string")
         plan = table_stats(df, ["k", "s"])._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 2
+        assert "Expand" not in plan
