@@ -66,10 +66,9 @@ def test_no_quadratic_join_shapes_outside_declared(live):
     the declared count — a new nested loop anywhere else fails here
     even if wall time looks fine."""
     declared_bnlj = {
-        # ivf_assign scores every vector against the broadcast centroid
-        # frame (cross by construction); cents derives from assign, and
-        # the three ordered-frame consumers each print the subtree
-        "semdedup_scaled": 6,
+        # (opt r6: semdedup_scaled left this list — ivf_assign's
+        # cross-join + window argmax became a map-only numpy stage, so
+        # its six printed BNLJ subtrees are gone)
         # BM25: one broadcast 1-row corpus-stats frame joined cross
         "bm25_search_topk": 1,
         # RRF fusion: two BM25 sources (1-row stats frame each) + the
