@@ -646,7 +646,14 @@ def ivf_topk(
     time; the scan prunes to nprobe/n_cells of the table when ``cell``
     partitions the storage.
     """
-    assign = ivf_assign(emb, n_cells, id_col)
+    # assign feeds multiple consumers (query row, cell codebook, probe
+    # membership); the map-only numpy stage has no exchange for the
+    # planner to reuse across the printed subtrees, so persist it
+    # (lifecycle-scoped) — the old window shape got the same effect
+    # implicitly via ReusedExchange (opt r6)
+    from .dedup import selfjoin_ready as _sjr
+
+    assign = _sjr(ivf_assign(emb, n_cells, id_col))
     q = assign.filter(F.col(id_col) == query_vec_id).select(
         F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
     )
@@ -1183,7 +1190,14 @@ def semdedup(
     storage partition key at 10^12 rows, making the self-join
     co-located instead of shuffled.
     """
-    assign = ivf_assign(emb, n_cells, id_col)
+    # assign feeds multiple consumers (query row, cell codebook, probe
+    # membership); the map-only numpy stage has no exchange for the
+    # planner to reuse across the printed subtrees, so persist it
+    # (lifecycle-scoped) — the old window shape got the same effect
+    # implicitly via ReusedExchange (opt r6)
+    from .dedup import selfjoin_ready as _sjr
+
+    assign = _sjr(ivf_assign(emb, n_cells, id_col))
     cents = assign.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"),
         F.col("embedding").alias("_ce"),
@@ -1513,7 +1527,14 @@ def ivf_pq_topk(
     corpus float vectors are read only at index-build time.
     """
     sw = dim // n_subs
-    assign = ivf_assign(emb, n_cells, id_col)
+    # assign feeds multiple consumers (query row, cell codebook, probe
+    # membership); the map-only numpy stage has no exchange for the
+    # planner to reuse across the printed subtrees, so persist it
+    # (lifecycle-scoped) — the old window shape got the same effect
+    # implicitly via ReusedExchange (opt r6)
+    from .dedup import selfjoin_ready as _sjr
+
+    assign = _sjr(ivf_assign(emb, n_cells, id_col))
     codes = pq_codes(emb, n_subs, n_cents, dim, id_col)
     q = assign.filter(F.col(id_col) == query_vec_id).select(
         F.col("embedding").alias("qe"), F.col("_norm").alias("_qn")
