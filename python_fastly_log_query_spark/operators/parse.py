@@ -369,9 +369,20 @@ def parse_logs_native(
 ) -> DataFrame:
     """JVM-only fast-path parse: the SAME 16-group anchored pattern as the
     pandas parser, evaluated in ONE ``regexp_replace`` pass per row inside
-    whole-stage codegen — no Python workers, no Arrow transfer.  Measured
-    36% faster than the pandas parser on the pruned flagship at sf0.1
-    (63k vs 46k rows/s end-to-end at local[32]).
+    whole-stage codegen — no Python workers, no Arrow transfer.
+
+    Honest current numbers (r6; the original r2 measurement claimed +36%
+    and rotted — VERDICT r5 #1): every committed r5/r6 bench record shows
+    this path ~20-25% SLOWER than the pandas pipeline on the pruned
+    flagship at sf0.1/local[32] (r6: 63.7k vs 83.4k rows/s).  The Java
+    regex engine pays the full 16-group match per row in one thread-local
+    pass, while the pandas stage amortizes per-row overhead across Arrow
+    batches; the JVM path's value proposition is OPERATIONAL — zero
+    Python workers to size/monitor at 10^12 rows and no
+    executor.pyspark.memory dimension — not throughput at this row width.
+    Both rates are recorded per bench run (rows_per_sec_pipeline vs
+    rows_per_sec_pipeline_native in BENCH/latest.json), so the
+    relationship can no longer drift silently.
 
     Contract vs :func:`parse_logs` (tested in test_parse_parity):
     WELL-FORMED lines parse identically, field for field, including the
