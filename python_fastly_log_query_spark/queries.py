@@ -1746,13 +1746,16 @@ def q_streaming_hourly_rollup(spark, sf):
     from . import oracle_corpus as oc
     from .streaming.jobs import hourly_rollup, run_available_now, stream_parse_docs
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_rollup")
-    # spread the landing write: a single-file src would make every
-    # micro-batch's pandas parse a single task (opt r6; AvailableNow
+    # fan the landing write to the stream sizing (opt r6): a
+    # single-file src runs every micro-batch's pandas parse as ONE
+    # task, while defaultParallelism-many files pay file-count
+    # write/listing/commit overhead a 100k-row batch never recoups
+    # (measured: 8-file drain 0.57s vs 32-file 0.75-1.5s; AvailableNow
     # with no trigger cap still drains all files as ONE batch)
-    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
+    oc.log_lines(spark, sf).repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
@@ -2149,11 +2152,11 @@ def q_streaming_exact_dedup(spark, sf):
     (dedup.build_signature_table) covering cross-horizon duplicates."""
     from .streaming.jobs import run_available_now, stream_docs
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_dedup")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    spread(docs).write.mode("overwrite").parquet(f"{work}/src")
+    docs.repartition(int(_STREAM_STATE_PARTITIONS)).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
     deduped = (
         stream_docs(spark, f"{work}/src")
         .withColumn("fp", F.md5("text"))
@@ -2521,10 +2524,10 @@ def q_streaming_ip_totals(spark, sf):
         stream_parse_docs,
     )
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_ip_totals")
-    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
+    oc.log_lines(spark, sf).repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
@@ -2557,10 +2560,10 @@ def q_streaming_routed_counts(spark, sf):
 
     from .streaming.jobs import stream_parse_docs
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_routed")
-    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
+    oc.log_lines(spark, sf).repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
@@ -2758,16 +2761,15 @@ def q_streaming_neardup_ingest(spark, sf):
     mid = (docs.agg(F.max("doc_id")).first()[0] + 1) // 2
     work, name = _stream_scratch(spark, "stream_neardup")
 
-    from .plans.partitioning import spread
-
     banded_signature_keys(docs.filter(F.col("doc_id") < mid), _NH, _NB).write.mode(
         "overwrite"
     ).parquet(f"{work}/sig")
-    # spread the arriving-half landing write: a single-file src would run
-    # every micro-batch's banded-key projection as one task (opt r6)
-    spread(docs.filter(F.col("doc_id") >= mid).select("doc_id", "text")).write.mode(
-        "overwrite"
-    ).parquet(f"{work}/src")
+    # fan the arriving-half landing write to the stream sizing: a
+    # single-file src would run every micro-batch's banded-key
+    # projection as one task (opt r6)
+    docs.filter(F.col("doc_id") >= mid).select("doc_id", "text").repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
 
     stream = spark.readStream.schema("doc_id long, text string").parquet(
         f"{work}/src"
@@ -6452,10 +6454,10 @@ def q_streaming_hopping_rollup(spark, sf):
     from . import oracle_corpus as oc
     from .streaming.jobs import hopping_rollup, run_available_now, stream_parse_docs
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_hop")
-    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
+    oc.log_lines(spark, sf).repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
@@ -7990,10 +7992,10 @@ def q_streaming_enriched_counts(spark, sf):
     from .datagen import geoip_dim
     from .streaming.jobs import stream_parse_docs
 
-    from .plans.partitioning import spread
-
     work, name = _stream_scratch(spark, "stream_enrich")
-    spread(oc.log_lines(spark, sf)).write.mode("overwrite").parquet(f"{work}/src")
+    oc.log_lines(spark, sf).repartition(
+        int(_STREAM_STATE_PARTITIONS)
+    ).write.mode("overwrite").parquet(f"{work}/src")
     parsed = stream_parse_docs(
         spark,
         f"{work}/src",
