@@ -3957,7 +3957,10 @@ def q_bpe_merges(spark, sf):
     from .operators.bpe import bpe_train
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return bpe_train(spark, docs, num_merges=_BPE_K)
+    # vocabulary-dim fixpoint: same shuffle sizing as the host-graph
+    # loops (measured 1.84 -> 1.29s at sf0.1; opt r6)
+    with _dim_iteration_conf(spark):
+        return bpe_train(spark, docs, num_merges=_BPE_K)
 
 
 def _bpe_tokens_oracle() -> str:
@@ -4009,10 +4012,11 @@ def q_bpe_token_stats(spark, sf):
     from .operators.bpe import bpe_apply, bpe_train
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    merges = [
-        (r.lhs, r.rhs)
-        for r in bpe_train(spark, docs, num_merges=_BPE_K).collect()
-    ]
+    with _dim_iteration_conf(spark):
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_train(spark, docs, num_merges=_BPE_K).collect()
+        ]
     toked = bpe_apply(docs, merges)
     return toked.select(
         "doc_id",
